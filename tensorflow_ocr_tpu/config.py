@@ -1,0 +1,238 @@
+"""Typed configuration tree.
+
+Replaces the reference's ``tf.app.flags`` global singleton scattered across
+modules (flags defined at import time in ``datasets/icdar.py:17-30``,
+``nets/model.py:6``, ``multigpu_train.py:6-17``, ``test.py:3-7`` of the
+reference). One dataclass tree + CLI override parsing; entry-point scripts
+keep the reference's public flag names.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence
+
+
+@dataclass
+class DataConfig:
+    """Reference: /root/reference/datasets/icdar.py:17-30."""
+
+    training_data_path: str = "/data/ocr/icdar2015/"
+    max_image_large_side: int = 1280
+    max_text_size: int = 800
+    # Polys with min side below this are masked out of training
+    # (reference icdar.py:512).
+    min_text_size: int = 10
+    min_crop_side_ratio: float = 0.1
+    geometry: str = "RBOX"  # RBOX | QUAD
+    input_size: int = 512
+    batch_size: int = 14
+    num_workers: int = 8
+    max_queue_size: int = 24
+    # Static padding bound for per-image polygon count (jit-friendly label
+    # generation needs fixed shapes; reference used dynamic Python lists).
+    max_polys: int = 64
+    # Augmentation (reference has random_scale + crop_area wired but mostly
+    # disabled at icdar.py:576-600; the heavy-aug config re-enables them).
+    random_scale: Sequence[float] = (0.5, 1.0, 2.0, 3.0)
+    use_random_scale: bool = False
+    use_crop: bool = False
+    background_ratio: float = 3.0 / 8.0
+    use_rotate: bool = False
+    max_rotate_deg: float = 10.0
+
+
+@dataclass
+class ModelConfig:
+    # pixellink_resnet50 | pixellink_vgg16 | east_resnet50 | east_resnet101
+    # | east_vgg16 | link8_resnet50
+    name: str = "pixellink_resnet50"
+    # EAST geometry scale (reference nets/model.py:6,78).
+    text_scale: int = 512
+    weight_decay: float = 1e-5
+    bn_momentum: float = 0.997  # reference BN decay (nets/model.py:95)
+    bn_epsilon: float = 1e-5
+    # bf16 activations/weights on the matmul path; f32 params + BN stats.
+    compute_dtype: str = "bfloat16"
+
+
+@dataclass
+class LossConfig:
+    # ohem | dice | focal | east  (reference: nets/model.py:204-261 OHEM,
+    # nets/model_vgg_16.py:196-225 dice, README.md mentions focal).
+    name: str = "ohem"
+    max_neg_pos_ratio: int = 3  # OHNM (reference nets/model.py:171)
+    pixel_loss_weight: float = 2.0  # reference nets/model.py:261
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    # EAST geometry loss weighting (classic EAST: L = Ls + λ·Lg).
+    east_geo_weight: float = 1.0
+    east_angle_weight: float = 10.0
+
+
+@dataclass
+class TrainConfig:
+    learning_rate: float = 1e-4
+    # Exponential decay: reference multigpu_train.py:104.
+    lr_decay_rate: float = 0.94
+    lr_decay_steps: int = 5000
+    lr_staircase: bool = True
+    optimizer: str = "adam"  # adam | momentum
+    momentum: float = 0.9
+    max_steps: int = 100_000
+    moving_average_decay: float = 0.997  # reference multigpu_train.py:11
+    checkpoint_path: str = "/tmp/east_resnet_v1_50_rbox/"
+    restore: bool = False
+    save_checkpoint_steps: int = 1000
+    save_summary_steps: int = 20
+    pretrained_model_path: Optional[str] = None
+    log_every_steps: int = 10
+    seed: int = 0
+    # Data parallel axis size; None = all visible devices.
+    num_devices: Optional[int] = None
+    donate_state: bool = True
+
+
+@dataclass
+class InferConfig:
+    test_data_path: str = "./exhibition"
+    checkpoint_path: str = "/tmp/east_icdar2015_resnet_v1_50_rbox/"
+    output_dir: str = "/tmp/res/"
+    max_side_len: int = 3000  # reference test.py:92
+    pixel_conf_threshold: float = 0.8  # reference test.py:45
+    link_conf_threshold: float = 0.8  # test.py:45 (0.9 in test_pixellink.py)
+    # Minimum component size in stride-4 pixels
+    # (reference test_pixellink_fast.py:174 keeps groups > 10 px).
+    min_component_size: int = 10
+    # Static bound on components per image for jit decode.
+    max_components: int = 128
+    # Compat with the reference's single-pixel link-filter bug at test.py:72
+    # (the corrected loop lives at tool/pixellink_fn.py:144-150; we default
+    # to the corrected semantics).
+    compat_reference_bugs: bool = False
+    # EAST decode
+    score_map_thresh: float = 0.8
+    box_thresh: float = 0.1
+    nms_thresh: float = 0.2
+
+
+@dataclass
+class EvalConfig:
+    matching_iou_threshold: float = 0.5  # tool/bboxes.py matching
+    gt_path: str = ""
+
+
+@dataclass
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    infer: InferConfig = field(default_factory=InferConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def _set_by_path(cfg: Config, dotted: str, raw: str) -> None:
+    """Set ``cfg.section.field`` from a string value with type coercion."""
+    parts = dotted.split(".")
+    obj: Any = cfg
+    for p in parts[:-1]:
+        obj = getattr(obj, p)
+    name = parts[-1]
+    current = getattr(obj, name)
+    value: Any
+    if isinstance(current, bool):
+        value = raw.lower() in ("1", "true", "yes", "y")
+    elif isinstance(current, int):
+        value = int(raw)
+    elif isinstance(current, float):
+        value = float(raw)
+    elif isinstance(current, (tuple, list)):
+        value = tuple(float(x) for x in raw.split(","))
+    else:
+        value = raw
+    setattr(obj, name, value)
+
+
+# Reference public flag name -> config path, so entry scripts accept the
+# same CLI surface as the reference's shell launchers (train.sh, test.sh).
+FLAG_ALIASES = {
+    "training_data_path": "data.training_data_path",
+    "max_image_large_side": "data.max_image_large_side",
+    "max_text_size": "data.max_text_size",
+    "min_text_size": "data.min_text_size",
+    "min_crop_side_ratio": "data.min_crop_side_ratio",
+    "geometry": "data.geometry",
+    "input_size": "data.input_size",
+    "batch_size_per_gpu": "data.batch_size",
+    "num_readers": "data.num_workers",
+    "text_scale": "model.text_scale",
+    "learning_rate": "train.learning_rate",
+    "max_steps": "train.max_steps",
+    "moving_average_decay": "train.moving_average_decay",
+    "checkpoint_path": "train.checkpoint_path",
+    "restore": "train.restore",
+    "save_checkpoint_steps": "train.save_checkpoint_steps",
+    "save_summary_steps": "train.save_summary_steps",
+    "pretrained_model_path": "train.pretrained_model_path",
+    "test_data_path": "infer.test_data_path",
+    "output_dir": "infer.output_dir",
+    "pixel_conf_threshold": "infer.pixel_conf_threshold",
+    "link_conf_threshold": "infer.link_conf_threshold",
+    # gpu_list is accepted and ignored: device selection is JAX-native.
+    "gpu_list": None,
+    "gpu_memory_fraction": None,
+    "image_width": None,
+    "image_height": None,
+}
+
+
+def parse_flags(
+    argv: Sequence[str],
+    cfg: Optional[Config] = None,
+    aliases: Optional[dict] = None,
+) -> Config:
+    """Parse ``--flag=value`` / ``--flag value`` CLI args into a Config.
+
+    Accepts both reference-style flag names (via FLAG_ALIASES, overridable
+    per entry point — e.g. ``test.py`` maps ``checkpoint_path`` to
+    ``infer.checkpoint_path``) and dotted config paths
+    (``--train.learning_rate=3e-4``).
+    """
+    cfg = cfg or Config()
+    if aliases is None:
+        aliases = FLAG_ALIASES
+    args = list(argv)
+    i = 0
+    special: dict[str, str] = {}
+    while i < len(args):
+        a = args[i]
+        if not a.startswith("--"):
+            i += 1
+            continue
+        body = a[2:]
+        if "=" in body:
+            key, val = body.split("=", 1)
+        else:
+            key = body
+            if i + 1 < len(args) and not args[i + 1].startswith("--"):
+                val = args[i + 1]
+                i += 1
+            else:
+                val = "true"
+        if key in aliases:
+            path = aliases[key]
+            if path is None:
+                special[key] = val
+            else:
+                _set_by_path(cfg, path, val)
+        elif "." in key:
+            _set_by_path(cfg, key, val)
+        else:
+            raise ValueError(f"unknown flag --{key}")
+        i += 1
+    return cfg

@@ -1,0 +1,34 @@
+"""Test env: force an 8-device CPU mesh before any JAX backend initializes.
+
+The container's sitecustomize registers the TPU tunnel backend in every
+interpreter and forces its selection regardless of JAX_PLATFORMS, so the
+only reliable override is ``jax.config.update('jax_platforms', 'cpu')``
+before first backend use. Multi-chip sharding logic (shard_map DP over ICI)
+is validated on 8 fake CPU devices per SURVEY.md §4 — no cluster required.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    devs = jax.devices()
+    assert len(devs) == 8 and devs[0].platform == "cpu"
+    return devs
