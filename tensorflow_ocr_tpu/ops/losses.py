@@ -1,0 +1,236 @@
+"""Losses: dice, OHEM pixel+link CE, focal, EAST geometry.
+
+All functions are pure, static-shape, jit/vmap-friendly rebuilds of the
+reference losses:
+
+- dice_loss              -> /root/reference/nets/model.py:145-159 (identical
+                            formula in nets/model_vgg_16.py:179-193)
+- ohem_pixel_link_loss   -> nets/model.py:161-261 (OHNM_single_image /
+                            OHNM_batch / loss). The reference hardcodes
+                            batch 14 (model.py:220) and loops per image; we
+                            vmap. The reference's tf.nn.top_k selection is
+                            reproduced with a full sort + rank threshold
+                            (static shapes; SURVEY.md §7 'OHEM inside jit').
+- dice_pixel_link_loss   -> nets/model_vgg_16.py:196-225 (dice on score +
+                            8 per-direction link dices)
+- positive_pixel_link_loss -> nets/model_vgg_16.py:227-282 (ohem_loss:
+                            positive-masked pixel CE x2 + balanced link CE)
+- focal_loss             -> capability named in reference README.md:3 (no
+                            code exists there; standard Lin et al. form)
+- east_loss              -> classic EAST formulation consumed by the
+                            surviving EAST heads (nets/model.py:33-82): dice
+                            score + IoU distance loss + angle cosine loss.
+
+Reference quirk note: model.loss() accepts training_mask but never applies
+it (model.py:204-261) — ignored regions leak into its positives. We default
+to the intended semantics (mask applied); ``apply_training_mask=False``
+reproduces the reference exactly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+EPS = 1e-5
+
+
+def _safe_div(num, den):
+    """tool/math.py:25-38 semantics: 0 where denominator <= 0."""
+    return jnp.where(den > 0, num / jnp.maximum(den, 1e-12), 0.0)
+
+
+def dice_loss(y_true, y_pred, training_mask):
+    """1 - 2*sum(t*p*m) / (sum(t*m) + sum(p*m) + eps)."""
+    inter = jnp.sum(y_true * y_pred * training_mask)
+    union = (
+        jnp.sum(y_true * training_mask) + jnp.sum(y_pred * training_mask) + EPS
+    )
+    return 1.0 - 2.0 * inter / union
+
+
+def softmax_ce_with_logits(logits, labels):
+    """sparse softmax CE over the last axis (2 classes here)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+
+
+def ohnm_mask(neg_scores, pos_mask, neg_mask, max_neg_pos_ratio: int = 3):
+    """Per-image Online Hard Negative Mining mask (model.py:161-184).
+
+    neg_scores: (N,) predicted probability of the NEGATIVE class — hard
+    negatives are where this is smallest.
+    Returns float (N,) selected-negative mask.
+    """
+    n_pos = jnp.sum(pos_mask.astype(jnp.int32))
+    n_neg_avail = jnp.sum(neg_mask.astype(jnp.int32))
+    n_neg = jnp.minimum(n_pos * max_neg_pos_ratio, n_neg_avail)
+    big = jnp.float32(jnp.inf)
+    masked = jnp.where(neg_mask, neg_scores, big)
+    srt = jnp.sort(masked)  # ascending: hardest first
+    # k-th smallest value is the inclusion threshold (ties included, matching
+    # tf.top_k + `scores <= -threshold` at model.py:176-178)
+    idx = jnp.clip(n_neg - 1, 0, neg_scores.shape[0] - 1)
+    kth = srt[idx]
+    selected = neg_mask & (neg_scores <= kth) & (n_neg > 0)
+    return jnp.where(n_pos > 0, selected.astype(jnp.float32), 0.0)
+
+
+def ohem_pixel_link_loss(
+    pixel_labels,      # (B,h,w,1) or (B,h,w) float/int {0,1}
+    pixel_logits,      # (B,h,w,2)
+    link_labels,       # (B,h,w,8) {0,1}
+    link_logits,       # (B,h,w,16)
+    training_mask=None,  # (B,h,w,1) or (B,h,w)
+    max_neg_pos_ratio: int = 3,
+    pixel_loss_weight: float = 2.0,
+    apply_training_mask: bool = True,
+):
+    """Reference nets/model.py:204-261, vectorized. Returns (total, aux)."""
+    b = pixel_logits.shape[0]
+    labels = pixel_labels.reshape(b, -1).astype(jnp.int32)
+    logits = pixel_logits.reshape(b, -1, 2)
+    if training_mask is None or not apply_training_mask:
+        valid = jnp.ones_like(labels, jnp.bool_)
+    else:
+        valid = training_mask.reshape(b, -1) > 0
+
+    scores = jax.nn.softmax(logits, axis=-1)
+    neg_scores = scores[..., 0]
+    pos_mask = (labels == 1) & valid
+    neg_mask = (labels == 0) & valid
+
+    selected_neg = jax.vmap(
+        lambda s, p, n: ohnm_mask(s, p, n, max_neg_pos_ratio)
+    )(neg_scores, pos_mask, neg_mask)
+    w_pixel = pos_mask.astype(jnp.float32) + selected_neg  # (B, N)
+
+    n_pos = jnp.sum(pos_mask.astype(jnp.float32))
+    ce = softmax_ce_with_logits(logits, labels)
+    pixel_loss = _safe_div(jnp.sum(ce * w_pixel), n_pos)
+
+    # link loss, all 8 directions at once (model.py:238-254)
+    link_lbl = link_labels.reshape(b, -1, 8).astype(jnp.int32)
+    link_lgt = link_logits.reshape(b, -1, 8, 2)
+    link_ce = softmax_ce_with_logits(link_lgt, link_lbl)  # (B,N,8)
+    wp = w_pixel[..., None]
+    w_link_pos = (link_lbl == 1).astype(jnp.float32) * wp
+    w_link_neg = (link_lbl == 0).astype(jnp.float32) * wp
+    pos_n = jnp.sum(w_link_pos, axis=(0, 1))  # per-direction (8,)
+    neg_n = jnp.sum(w_link_neg, axis=(0, 1))
+    link_pos = _safe_div(jnp.sum(link_ce * w_link_pos, axis=(0, 1)), pos_n)
+    link_neg = _safe_div(jnp.sum(link_ce * w_link_neg, axis=(0, 1)), neg_n)
+    link_loss = jnp.sum(link_pos + link_neg)
+
+    total = link_loss + pixel_loss_weight * pixel_loss
+    return total, {
+        "pixel_loss": pixel_loss,
+        "link_loss": link_loss,
+        "n_pos": n_pos,
+    }
+
+
+def dice_pixel_link_loss(
+    pixel_labels,   # (B,h,w,1)
+    pixel_probs,    # (B,h,w,1) — sigmoid score or softmax pos-prob
+    link_labels,    # (B,h,w,8)
+    link_probs,     # (B,h,w,8)
+    training_mask,  # (B,h,w,1)
+):
+    """Reference nets/model_vgg_16.py:196-225. Returns (total, aux)."""
+    cls = dice_loss(pixel_labels, pixel_probs, training_mask) * 2.0
+    # 8 per-direction dices at once
+    def one(i):
+        return dice_loss(link_labels[..., i:i + 1], link_probs[..., i:i + 1],
+                         training_mask)
+    link = jnp.sum(jnp.stack([one(i) for i in range(8)]))
+    return link + cls, {"pixel_loss": cls, "link_loss": link}
+
+
+def positive_pixel_link_loss(
+    pixel_labels, pixel_logits, link_labels, link_logits,
+    pixel_loss_weight: float = 2.0,
+):
+    """Reference nets/model_vgg_16.py:227-282 (its 'ohem_loss').
+
+    Pixel CE restricted to positives; per-direction link CE pos/neg
+    normalized with pixel-positive weights.
+    """
+    b = pixel_logits.shape[0]
+    labels = pixel_labels.reshape(-1).astype(jnp.int32)
+    logits = pixel_logits.reshape(-1, 2)
+    w_pixel = (labels == 1).astype(jnp.float32)
+    ce = softmax_ce_with_logits(logits, labels)
+    pixel_loss = _safe_div(jnp.sum(ce * w_pixel), jnp.sum(w_pixel))
+
+    link_lbl = link_labels.reshape(-1, 8).astype(jnp.int32)
+    link_lgt = link_logits.reshape(-1, 8, 2)
+    link_ce = softmax_ce_with_logits(link_lgt, link_lbl)
+    wp = w_pixel[:, None]
+    w_pos = (link_lbl == 1).astype(jnp.float32) * wp
+    w_neg = (link_lbl == 0).astype(jnp.float32) * wp
+    link_loss = jnp.sum(
+        _safe_div(jnp.sum(link_ce * w_pos, axis=0), jnp.sum(w_pos, axis=0))
+        + _safe_div(jnp.sum(link_ce * w_neg, axis=0), jnp.sum(w_neg, axis=0))
+    )
+    del b
+    return pixel_loss * pixel_loss_weight + link_loss, {
+        "pixel_loss": pixel_loss,
+        "link_loss": link_loss,
+    }
+
+
+def focal_loss(labels, logits, training_mask=None,
+               alpha: float = 0.25, gamma: float = 2.0):
+    """Focal loss over 2-class pixel logits (Lin et al. 2017).
+
+    Named as a capability in reference README.md:3; no reference code
+    exists — this is the standard form, normalized by positive count.
+    labels (B,h,w,1) {0,1}; logits (B,h,w,2).
+    """
+    lbl = labels.reshape(labels.shape[0], -1).astype(jnp.int32)
+    lgt = logits.reshape(logits.shape[0], -1, 2)
+    logp = jax.nn.log_softmax(lgt, axis=-1)
+    logpt = jnp.take_along_axis(logp, lbl[..., None], axis=-1)[..., 0]
+    pt = jnp.exp(logpt)
+    at = jnp.where(lbl == 1, alpha, 1.0 - alpha)
+    fl = -at * (1.0 - pt) ** gamma * logpt
+    if training_mask is not None:
+        fl = fl * (training_mask.reshape(training_mask.shape[0], -1) > 0)
+    n_pos = jnp.maximum(jnp.sum((lbl == 1).astype(jnp.float32)), 1.0)
+    return jnp.sum(fl) / n_pos
+
+
+def east_loss(
+    y_true_cls,     # (B,h,w,1)
+    y_pred_cls,     # (B,h,w,1) sigmoid score
+    y_true_geo,     # (B,h,w,5) d1..d4, angle
+    y_pred_geo,     # (B,h,w,5)
+    training_mask,  # (B,h,w,1)
+    angle_weight: float = 20.0,
+    cls_weight: float = 1.0,
+):
+    """Classic EAST loss: dice score + RBOX IoU + angle cosine.
+
+    The geometry channel convention matches restore_rectangle
+    (icdar.py:410-483): d = (top, right, bottom, left). Returns (total, aux).
+    """
+    cls_loss = dice_loss(y_true_cls, y_pred_cls, training_mask) * cls_weight
+
+    d1_gt, d2_gt, d3_gt, d4_gt, theta_gt = jnp.split(y_true_geo, 5, axis=-1)
+    d1_p, d2_p, d3_p, d4_p, theta_p = jnp.split(y_pred_geo, 5, axis=-1)
+    area_gt = (d1_gt + d3_gt) * (d2_gt + d4_gt)
+    area_p = (d1_p + d3_p) * (d2_p + d4_p)
+    w_union = jnp.minimum(d2_gt, d2_p) + jnp.minimum(d4_gt, d4_p)
+    h_union = jnp.minimum(d1_gt, d1_p) + jnp.minimum(d3_gt, d3_p)
+    area_intersect = w_union * h_union
+    area_union = area_gt + area_p - area_intersect
+    aabb = -jnp.log((area_intersect + 1.0) / (area_union + 1.0))
+    theta = 1.0 - jnp.cos(theta_p - theta_gt)
+    geo = aabb + angle_weight * theta
+    w = y_true_cls * training_mask
+    geo_loss = _safe_div(jnp.sum(geo * w), jnp.sum(w))
+    return geo_loss + cls_loss, {
+        "cls_loss": cls_loss,
+        "geo_loss": geo_loss,
+    }

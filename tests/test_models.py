@@ -1,0 +1,102 @@
+"""Model zoo: shapes, strides, dtypes, BN state."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensorflow_ocr_tpu.models import build_model
+from tensorflow_ocr_tpu.models.resnet import resnet_v1
+from tensorflow_ocr_tpu.models.vgg import VGG16
+
+
+@pytest.fixture(scope="module")
+def img64():
+    return jnp.zeros((1, 64, 64, 3), jnp.float32)
+
+
+def test_resnet50_pyramid_strides(img64):
+    model = resnet_v1(50)
+    vars_ = model.init(jax.random.PRNGKey(0), img64)
+    ep = model.apply(vars_, img64)
+    assert ep["pool2"].shape == (1, 16, 16, 64)     # stride 4
+    assert ep["pool3"].shape == (1, 8, 8, 256)      # stride 8
+    assert ep["pool4"].shape == (1, 4, 4, 512)      # stride 16
+    assert ep["pool5"].shape == (1, 2, 2, 2048)     # stride 32
+
+
+def test_vgg16_endpoints(img64):
+    model = VGG16()
+    vars_ = model.init(jax.random.PRNGKey(0), img64)
+    ep = model.apply(vars_, img64)
+    assert ep["conv3_3"].shape == (1, 16, 16, 256)  # stride 4
+    assert ep["conv4_3"].shape == (1, 8, 8, 512)    # stride 8
+    assert ep["conv5_3"].shape == (1, 4, 4, 512)    # stride 16
+    assert ep["fc7"].shape == (1, 4, 4, 1024)       # stride 16 (pool5 is s1)
+
+
+def test_pixellink_resnet50_outputs(img64):
+    model = build_model("pixellink_resnet50")
+    vars_ = model.init(jax.random.PRNGKey(0), img64)
+    out = model.apply(vars_, img64)
+    # stride-4 maps: 2-ch pixel + 16-ch link logits (nets/model.py:139-141)
+    assert out["pixel_logits"].shape == (1, 16, 16, 2)
+    assert out["link_logits"].shape == (1, 16, 16, 16)
+    assert out["pixel_logits"].dtype == jnp.float32
+
+
+def test_pixellink_vgg16_outputs(img64):
+    model = build_model("pixellink_vgg16")
+    vars_ = model.init(jax.random.PRNGKey(0), img64)
+    out = model.apply(vars_, img64)
+    assert out["pixel_logits"].shape == (1, 16, 16, 2)
+    assert out["link_logits"].shape == (1, 16, 16, 16)
+
+
+def test_east_resnet50_outputs(img64):
+    model = build_model("east_resnet50", text_scale=512)
+    vars_ = model.init(jax.random.PRNGKey(0), img64)
+    out = model.apply(vars_, img64)
+    assert out["score"].shape == (1, 16, 16, 1)
+    assert out["geometry"].shape == (1, 16, 16, 5)
+    score = np.asarray(out["score"])
+    geo = np.asarray(out["geometry"])
+    assert (score >= 0).all() and (score <= 1).all()
+    assert (geo[..., :4] >= 0).all() and (geo[..., :4] <= 512).all()
+    assert (np.abs(geo[..., 4]) <= np.pi / 4 + 1e-6).all()
+
+
+def test_link8_outputs(img64):
+    model = build_model("link8_resnet50")
+    vars_ = model.init(jax.random.PRNGKey(0), img64)
+    out = model.apply(vars_, img64)
+    assert out["score"].shape == (1, 16, 16, 1)
+    assert out["link_probs"].shape == (1, 16, 16, 8)
+
+
+def test_batchnorm_updates_in_train_mode(img64):
+    model = build_model("pixellink_vgg16")
+    rngs = jax.random.PRNGKey(0)
+    vars_ = model.init(rngs, img64)
+    assert "batch_stats" in vars_
+    x = jax.random.normal(jax.random.PRNGKey(1), img64.shape, jnp.float32) * 50 + 100
+    out, updates = model.apply(
+        vars_, x, train=True, mutable=["batch_stats"]
+    )
+    # running stats must move
+    old = jax.tree_util.tree_leaves(vars_["batch_stats"])
+    new = jax.tree_util.tree_leaves(updates["batch_stats"])
+    moved = any(not np.allclose(a, b) for a, b in zip(old, new))
+    assert moved
+
+
+def test_east_vgg16_jit_forward(img64):
+    model = build_model("east_vgg16")
+    vars_ = model.init(jax.random.PRNGKey(0), img64)
+
+    @jax.jit
+    def fwd(v, x):
+        return model.apply(v, x)
+
+    out = fwd(vars_, img64)
+    assert out["score"].shape == (1, 16, 16, 1)
