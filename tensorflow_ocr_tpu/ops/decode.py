@@ -1,0 +1,272 @@
+"""On-device decode: thresholding, link-graph connected components, boxes.
+
+TPU-native replacement for the reference's post-processing, which ran as
+pure-Python/NumPy/OpenCV on the host (its actual inference bottleneck,
+SURVEY.md §2.9):
+
+- ``pixel_link_mask``  -> test.py:45-74 / tool/pixellink_fn.py:120-154
+  (score threshold + link-consistency filter). We implement the corrected
+  loop semantics of pixellink_fn.py:144-150; ``compat_reference_bugs``
+  reproduces test.py:72's single-pixel write.
+- ``connected_components`` -> the DFS grouping of
+  test_pixellink_fast.py:114-178, recast as iterative min-label propagation
+  under ``lax.while_loop`` (converges in O(component diameter) sweeps; no
+  dynamic shapes, no union-find).
+- ``extract_components`` -> per-group ``cv2.minAreaRect``
+  (test_pixellink_fast.py:191-200), recast as a single dense angle-sweep:
+  one (N,2)x(2,A) projection matmul for ALL pixels, then per-component
+  segment-min/max — MXU + segment ops instead of per-contour host loops.
+- ``east_detect``       -> test-time EAST path: threshold + top-K +
+  restore_rectangle on device; locality-aware NMS on host (numpy) in
+  utils/nms.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tensorflow_ocr_tpu.ops.labels import LINK_OFFSETS
+from tensorflow_ocr_tpu.ops.geometry import restore_rectangle_rbox_jax
+
+
+def pixel_link_mask(pixel_scores: jnp.ndarray, link_scores: jnp.ndarray,
+                    pixel_thresh: float = 0.8, link_thresh: float = 0.8,
+                    compat_reference_bugs: bool = False) -> jnp.ndarray:
+    """Positive-pixel mask after the link-consistency filter.
+
+    pixel_scores: (h, w) P(text); link_scores: (h, w, 8) P(link).
+    Corrected semantics (pixellink_fn.py:144-150): a pixel survives only if
+    score > pixel_thresh and every directional link prob >= link_thresh.
+    """
+    mask = pixel_scores > pixel_thresh
+    if compat_reference_bugs:
+        # test.py:72 writes res[link_text[0], link_text[1]] = 0 — indexing
+        # with the first two argwhere ROWS, which garbles two arbitrary
+        # elements instead of applying the filter. Its net effect is "no
+        # link filter"; compat mode reproduces that net effect.
+        return mask
+    all_links_ok = jnp.all(link_scores >= link_thresh, axis=-1)
+    return mask & all_links_ok
+
+
+def link_adjacency(pixel_mask: jnp.ndarray, link_scores: jnp.ndarray,
+                   link_thresh: float = 0.9) -> jnp.ndarray:
+    """(h, w, 8) bool: edge from pixel to neighbor in direction c.
+
+    Matches test_pixellink_fast.py:119-150: pixel positive AND
+    link_c > thresh AND neighbor positive. (The reference's scan skips the
+    1-pixel border; we include it — border handling there was an artifact
+    of its Python loop bounds.)
+    """
+    h, w = pixel_mask.shape
+    edges = []
+    for c, (dx, dy) in enumerate(LINK_OFFSETS):
+        neigh = _shift_bool(pixel_mask, dx, dy)
+        edges.append(pixel_mask & (link_scores[..., c] > link_thresh) & neigh)
+    return jnp.stack(edges, axis=-1)
+
+
+def _shift_bool(x: jnp.ndarray, dx: int, dy: int) -> jnp.ndarray:
+    """out[y, x] = in[y+dy, x+dx] with False fill."""
+    h, w = x.shape
+    out = x
+    if dy > 0:
+        out = jnp.concatenate([out[dy:], jnp.zeros((dy, w), bool)], 0)
+    elif dy < 0:
+        out = jnp.concatenate([jnp.zeros((-dy, w), bool), out[:dy]], 0)
+    if dx > 0:
+        out = jnp.concatenate([out[:, dx:], jnp.zeros((h, dx), bool)], 1)
+    elif dx < 0:
+        out = jnp.concatenate([jnp.zeros((h, -dx), bool), out[:, :dx]], 1)
+    return out
+
+
+def _shift_i32(x: jnp.ndarray, dx: int, dy: int, fill) -> jnp.ndarray:
+    h, w = x.shape
+    out = x
+    if dy > 0:
+        out = jnp.concatenate([out[dy:], jnp.full((dy, w), fill, x.dtype)], 0)
+    elif dy < 0:
+        out = jnp.concatenate([jnp.full((-dy, w), fill, x.dtype), out[:dy]], 0)
+    if dx > 0:
+        out = jnp.concatenate([out[:, dx:], jnp.full((h, dx), fill, x.dtype)], 1)
+    elif dx < 0:
+        out = jnp.concatenate([jnp.full((h, -dx), fill, x.dtype), out[:, :dx]], 1)
+    return out
+
+
+def connected_components(edges: jnp.ndarray, pixel_mask: jnp.ndarray,
+                         max_iters: int | None = None) -> jnp.ndarray:
+    """Weakly-connected components of the 8-direction link graph.
+
+    Min-label propagation: every positive pixel starts with its linear
+    index; each sweep takes the min over itself and all link-permitted
+    neighbors (edges used in both directions, making the directed link
+    graph weakly connected like the reference's DFS grouping in practice).
+    ``lax.while_loop`` exits when a sweep changes nothing.
+
+    edges: (h, w, 8) bool; pixel_mask: (h, w) bool.
+    Returns (h, w) int32: component root linear index per pixel, or h*w
+    where background.
+    """
+    h, w = pixel_mask.shape
+    sentinel = jnp.int32(h * w)
+    init = jnp.where(
+        pixel_mask,
+        jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+        + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1),
+        sentinel,
+    )
+    if max_iters is None:
+        max_iters = h + w  # component diameter bound for raster text blobs
+
+    # Precompute reverse edges once: edge into me from direction c exists if
+    # my neighbor at -offset has a forward edge toward me.
+    rev = []
+    for c, (dx, dy) in enumerate(LINK_OFFSETS):
+        rev.append(_shift_bool(edges[..., c], -dx, -dy))
+    rev = jnp.stack(rev, axis=-1)
+
+    def sweep(labels):
+        best = labels
+        for c, (dx, dy) in enumerate(LINK_OFFSETS):
+            fwd_n = _shift_i32(labels, dx, dy, sentinel)
+            best = jnp.minimum(best, jnp.where(edges[..., c], fwd_n, sentinel))
+            rev_n = _shift_i32(labels, -dx, -dy, sentinel)
+            best = jnp.minimum(best, jnp.where(rev[..., c], rev_n, sentinel))
+        return jnp.where(pixel_mask, best, sentinel)
+
+    def cond(state):
+        labels, changed, it = state
+        return changed & (it < max_iters)
+
+    def body(state):
+        labels, _, it = state
+        # pointer jumping: follow labels to their current root, halving
+        # path lengths — turns O(diameter) into O(log diameter) sweeps.
+        jumped = labels.reshape(-1)
+        padded = jnp.concatenate([jumped, jnp.array([sentinel], jnp.int32)])
+        jumped = padded[jnp.clip(jumped, 0, h * w)]
+        jumped = jnp.where(jumped == sentinel, labels.reshape(-1), jumped)
+        labels = jnp.minimum(labels, jumped.reshape(h, w))
+        new = sweep(labels)
+        return new, jnp.any(new != labels), it + 1
+
+    labels, _, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True), 0))
+    return labels
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_components", "min_size", "num_angles")
+)
+def extract_components(labels: jnp.ndarray, max_components: int = 128,
+                       min_size: int = 10, num_angles: int = 90):
+    """Component boxes via dense angle sweep + segment reductions.
+
+    labels: (h, w) int32 root-index map from :func:`connected_components`.
+    Returns:
+      boxes (max_components, 4, 2) float32 — min-area rects in (x, y) at
+          the label map's resolution;
+      sizes (max_components,) int32;
+      valid (max_components,) bool — size > min_size
+          (the reference keeps groups > 10 px, test_pixellink_fast.py:174).
+    """
+    h, w = labels.shape
+    n = h * w
+    flat = labels.reshape(-1)
+
+    sizes_all = jnp.bincount(flat, length=n + 1)[:n]  # per-root pixel count
+    # top-K roots by size (roots are unique by construction)
+    top_sizes, top_roots = jax.lax.top_k(sizes_all, max_components)
+    valid = top_sizes > min_size
+
+    # compact id per pixel: position of its root in top_roots, else K
+    # (h*w-size one-hot matmul would be huge; use searchsorted on sorted roots)
+    order = jnp.argsort(top_roots)
+    sorted_roots = top_roots[order]
+    pos = jnp.searchsorted(sorted_roots, flat)
+    pos = jnp.clip(pos, 0, max_components - 1)
+    hit = sorted_roots[pos] == flat
+    compact = jnp.where(hit, order[pos], max_components)
+
+    ys = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).reshape(-1)).astype(jnp.float32)
+    xs = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).reshape(-1)).astype(jnp.float32)
+
+    thetas = jnp.arange(num_angles, dtype=jnp.float32) * (jnp.pi / 2 / num_angles)
+    c, s = jnp.cos(thetas), jnp.sin(thetas)
+    # one projection for every pixel and angle: (N, A) each — MXU-shaped
+    proj_u = xs[:, None] * c[None] + ys[:, None] * s[None]
+    proj_v = -xs[:, None] * s[None] + ys[:, None] * c[None]
+
+    num_seg = max_components + 1
+    u_min = jax.ops.segment_min(proj_u, compact, num_segments=num_seg)[:max_components]
+    u_max = jax.ops.segment_max(proj_u, compact, num_segments=num_seg)[:max_components]
+    v_min = jax.ops.segment_min(proj_v, compact, num_segments=num_seg)[:max_components]
+    v_max = jax.ops.segment_max(proj_v, compact, num_segments=num_seg)[:max_components]
+
+    areas = (u_max - u_min) * (v_max - v_min)           # (K, A)
+    k = jnp.argmin(areas, axis=1)                        # (K,)
+    ck, sk = c[k], s[k]
+    u0 = jnp.take_along_axis(u_min, k[:, None], 1)[:, 0]
+    u1 = jnp.take_along_axis(u_max, k[:, None], 1)[:, 0]
+    v0 = jnp.take_along_axis(v_min, k[:, None], 1)[:, 0]
+    v1 = jnp.take_along_axis(v_max, k[:, None], 1)[:, 0]
+    corners_uv = jnp.array(
+        [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]], jnp.float32
+    )
+    us = u0[:, None] + corners_uv[None, :, 0] * (u1 - u0)[:, None]
+    vs = v0[:, None] + corners_uv[None, :, 1] * (v1 - v0)[:, None]
+    bx = us * ck[:, None] - vs * sk[:, None]
+    by = us * sk[:, None] + vs * ck[:, None]
+    boxes = jnp.stack([bx, by], axis=-1)                 # (K, 4, 2)
+    return boxes, top_sizes, valid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pixel_thresh", "link_thresh", "min_size",
+                     "max_components", "num_angles"),
+)
+def pixellink_decode(pixel_scores: jnp.ndarray, link_scores: jnp.ndarray,
+                     pixel_thresh: float = 0.8, link_thresh: float = 0.9,
+                     min_size: int = 10, max_components: int = 128,
+                     num_angles: int = 90):
+    """Full PixelLink decode for one image on device.
+
+    pixel_scores (h, w); link_scores (h, w, 8). Returns (boxes, sizes, valid)
+    at label-map resolution — callers scale by stride/resize ratio
+    (test_pixellink_fast.py:193-200 scales x(1280/320, 720/192)).
+    """
+    mask = pixel_scores > pixel_thresh
+    edges = link_adjacency(mask, link_scores, link_thresh)
+    labels = connected_components(edges, mask)
+    return extract_components(labels, max_components, min_size, num_angles)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("score_thresh", "max_boxes")
+)
+def east_detect(score_map: jnp.ndarray, geo_map: jnp.ndarray,
+                score_thresh: float = 0.8, max_boxes: int = 2048):
+    """EAST decode stage 1 on device: threshold + top-K + RBOX restore.
+
+    score_map (h, w); geo_map (h, w, 5). Pixel coords are scaled x4 (the
+    reference's stride scaling, test.py:193-194) before restore, matching
+    eval-time behavior of argman-EAST-style detectors.
+    Returns (quads (K,4,2), scores (K,), valid (K,)) — host then applies
+    locality-aware NMS (utils/nms.py).
+    """
+    h, w = score_map.shape
+    flat = score_map.reshape(-1)
+    vals, idx = jax.lax.top_k(flat, max_boxes)
+    valid = vals > score_thresh
+    ys = (idx // w).astype(jnp.float32)
+    xs = (idx % w).astype(jnp.float32)
+    origin = jnp.stack([xs, ys], axis=1) * 4.0
+    geo = geo_map.reshape(-1, 5)[idx]
+    quads = restore_rectangle_rbox_jax(origin, geo)
+    return quads, vals, valid
