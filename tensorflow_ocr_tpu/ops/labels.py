@@ -141,6 +141,47 @@ def subsample_maps(score, link, mask, stride: int = 4):
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("out_height", "out_width", "stride", "min_text_size")
+)
+def pixellink_labels_stride(polys, ignored, valid, out_height: int,
+                            out_width: int, stride: int = 4,
+                            min_text_size: int = 10):
+    """Stride-direct PixelLink labels (the production train-step path).
+
+    Rasterizes straight onto the output grid (pixel (i,j) = full-res
+    (j*stride, i*stride)), matching the intended pipeline's stride-4
+    label generation (tool/pixellink_fn.py:84-108: NEAREST-resized masks,
+    links computed between stride-4 neighbors). 16x cheaper than full-res
+    raster + [::4]; the score map is bit-identical to the reference's
+    subsample (same sample points), links differ only by the neighbor
+    stride, which is the intended-pipeline convention.
+
+    polys in FULL-RES coords. Returns (score (h,w), link (h,w,8),
+    mask (h,w)) float32.
+    """
+    inst = rasterize_instances(
+        polys / float(stride), valid, out_height, out_width
+    )
+    score = (inst > 0).astype(jnp.float32)
+    link = link_map_from_instances(inst)
+
+    p = polys  # size thresholds measured at full res (icdar.py:510-512)
+    poly_h = jnp.minimum(
+        jnp.linalg.norm(p[:, 0] - p[:, 3], axis=-1),
+        jnp.linalg.norm(p[:, 1] - p[:, 2], axis=-1),
+    )
+    poly_w = jnp.minimum(
+        jnp.linalg.norm(p[:, 0] - p[:, 1], axis=-1),
+        jnp.linalg.norm(p[:, 2] - p[:, 3], axis=-1),
+    )
+    too_small = jnp.minimum(poly_h, poly_w) < float(min_text_size)
+    mask_out = valid & (too_small | ignored)
+    flag = jnp.concatenate([jnp.zeros((1,), bool), mask_out])
+    training_mask = jnp.where(flag[inst], 0.0, 1.0)
+    return score, link, training_mask
+
+
 def pixellink_labels_batch(polys, ignored, valid, height: int, width: int,
                            min_text_size: int = 10, stride: int = 4):
     """vmapped batched label gen at output stride.
@@ -163,6 +204,29 @@ def pixellink_labels_batch(polys, ignored, valid, height: int, width: int,
     return jax.vmap(one)(polys, ignored, valid)
 
 
+def east_labels_batch(polys, shrunk, rects, angles, ignored, valid,
+                      out_height: int, out_width: int, stride: int = 4,
+                      min_text_size: int = 10):
+    """Batched EAST labels on the output grid: score, geo, training mask.
+
+    The training mask is rasterized from the FULL polys (ignored or
+    too-small instances zeroed), matching the PixelLink mask rule
+    (icdar.py:509-515); the score map comes from the SHRUNK polys.
+    Returns score (B,h,w,1), geo (B,h,w,5), mask (B,h,w,1).
+    """
+
+    def one(p, sh, rc, an, ig, va):
+        score, geo = east_geo_maps(
+            sh, rc, an, va, out_height, out_width, stride=stride
+        )
+        _, _, mask = pixellink_labels_stride(
+            p, ig, va, out_height, out_width, stride, min_text_size
+        )
+        return score[..., None], geo, mask[..., None]
+
+    return jax.vmap(one)(polys, shrunk, rects, angles, ignored, valid)
+
+
 # --------------------------------------------------------------------------
 # EAST RBOX geometry maps
 # --------------------------------------------------------------------------
@@ -178,26 +242,34 @@ def _dist_point_to_segment_line(px, py, ax, ay, bx, by):
     return jnp.abs(cross) / jnp.maximum(denom, 1e-8)
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width"))
+@functools.partial(jax.jit, static_argnames=("height", "width", "stride"))
 def east_geo_maps(shrunk_polys: jnp.ndarray, rects: jnp.ndarray,
                   angles: jnp.ndarray, valid: jnp.ndarray,
-                  height: int, width: int):
+                  height: int, width: int, stride: int = 1):
     """Dense EAST RBOX maps: score + (d_top, d_right, d_bottom, d_left, angle).
 
     shrunk_polys: (K,4,2) — shrunk quads that define the positive region
-                  (EAST score map uses the shrunk poly).
+                  (EAST score map uses the shrunk poly), in FULL-RES coords.
     rects:        (K,4,2) — fitted rectangles (sorted clockwise from TL,
                   host-side via ops.geometry.rectangle_from_parallelogram +
-                  sort_rectangle).
+                  sort_rectangle), in FULL-RES coords.
     angles:       (K,)    — rect angles from sort_rectangle.
     valid:        (K,)    bool.
+    stride:       generate directly on the (height, width) output grid whose
+                  pixel (i, j) sits at full-res (j*stride, i*stride) —
+                  equivalent to the reference's full-res-then-[::4] sampling
+                  (icdar.py:632-634) at 1/stride**2 the raster cost.
+                  Distances stay in full-res units (what restore_rectangle
+                  expects, icdar.py:410-483).
     Returns score (H,W) f32, geo (H,W,5) f32.
     """
-    inst = rasterize_instances(shrunk_polys, valid, height, width)
+    inst = rasterize_instances(
+        shrunk_polys / float(stride), valid, height, width
+    )
     score = (inst > 0).astype(jnp.float32)
 
-    ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0).astype(jnp.float32)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1).astype(jnp.float32)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0).astype(jnp.float32) * stride
+    xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1).astype(jnp.float32) * stride
 
     # distances from every pixel to the 4 rect edges of its own instance:
     # gather rect by instance id then compute 4 line distances.

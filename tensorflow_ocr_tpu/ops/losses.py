@@ -201,6 +201,20 @@ def focal_loss(labels, logits, training_mask=None,
     return jnp.sum(fl) / n_pos
 
 
+def focal_loss_binary(labels, probs, training_mask=None,
+                      alpha: float = 0.25, gamma: float = 2.0):
+    """Binary focal loss on sigmoid probabilities (EAST score head,
+    BASELINE config #4). labels/probs (B,h,w,1)."""
+    p = jnp.clip(probs, 1e-7, 1.0 - 1e-7)
+    pt = jnp.where(labels == 1, p, 1.0 - p)
+    at = jnp.where(labels == 1, alpha, 1.0 - alpha)
+    fl = -at * (1.0 - pt) ** gamma * jnp.log(pt)
+    if training_mask is not None:
+        fl = fl * (training_mask > 0)
+    n_pos = jnp.maximum(jnp.sum((labels == 1).astype(jnp.float32)), 1.0)
+    return jnp.sum(fl) / n_pos
+
+
 def east_loss(
     y_true_cls,     # (B,h,w,1)
     y_pred_cls,     # (B,h,w,1) sigmoid score

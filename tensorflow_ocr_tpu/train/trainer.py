@@ -1,0 +1,453 @@
+"""Train state, shard_map data-parallel train step, checkpointing.
+
+TPU-native rebuild of /root/reference/multigpu_train.py:
+
+- tf.split multi-tower + average_gradients (multigpu_train.py:70-133)
+  -> one jitted shard_map step over a 1-D mesh; grads/BN stats pmean over
+     ICI; state replicated; input batch sharded on its leading dim.
+- placeholders + feed_dict session loop (:98-101, :169-194)
+  -> device-resident TrainState donated through jit; labels generated ON
+     DEVICE inside the step from padded polygon arrays (ops/labels.py), so
+     each step's host->device traffic is images + tiny poly tensors.
+- EMA of trainables, decay min(0.997, (1+t)/(10+t)) (:136-139)
+- NaN-divergence abort (:175-177), steps/sec + examples/sec meter (:179-184)
+- Saver/latest_checkpoint/pretrained warm-start with ignore_missing_vars
+  (:144-162) -> Orbax checkpoints of the full state + merge-by-path
+  warm start.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from tensorflow_ocr_tpu.config import Config
+from tensorflow_ocr_tpu.models import build_model
+from tensorflow_ocr_tpu.ops import labels as label_ops
+from tensorflow_ocr_tpu.ops import losses as loss_ops
+from tensorflow_ocr_tpu.parallel.mesh import DATA_AXIS, make_mesh
+from tensorflow_ocr_tpu.train import optim
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any
+
+
+def create_train_state(cfg: Config, rng: jax.Array,
+                       sample_image: np.ndarray) -> Tuple[Any, TrainState, optax.GradientTransformation]:
+    model = build_model(cfg.model.name, text_scale=cfg.model.text_scale)
+    tx = optim.make_optimizer(cfg.train)
+
+    # One jitted program for the whole init: eager per-op dispatch is
+    # pathologically slow on remote/tunneled backends.
+    @jax.jit
+    def init_state(rng, img):
+        variables = model.init(rng, img)
+        params = variables["params"]
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(params),
+            ema_params=jax.tree_util.tree_map(jnp.copy, params),
+        )
+
+    img = jnp.asarray(sample_image[:1], jnp.float32)
+    state = init_state(rng, img)
+    return model, state, tx
+
+
+# --------------------------------------------------------------------------
+# Loss dispatch: labels on device + model-family-specific loss
+# --------------------------------------------------------------------------
+
+
+def _pixellink_link_probs(link_logits):
+    """(B,h,w,16) logits -> (B,h,w,8) P(link) via per-pair softmax
+    (reference test.py:144-147)."""
+    b, h, w, _ = link_logits.shape
+    pairs = link_logits.reshape(b, h, w, 8, 2)
+    return jax.nn.softmax(pairs, axis=-1)[..., 1]
+
+
+def make_loss_fn(cfg: Config) -> Callable:
+    """Returns loss(outputs, batch) -> (total, aux) for the configured
+    model family + loss."""
+    stride = 4
+    out_hw = cfg.data.input_size // stride
+    min_ts = cfg.data.min_text_size
+    lcfg = cfg.loss
+    head = "east" if cfg.model.name.startswith("east") else (
+        "link8" if cfg.model.name.startswith("link8") else "pixellink"
+    )
+
+    def pixellink_labels(batch):
+        if "score" in batch:  # precomputed label cache (DeviceDataset)
+            return batch["score"], batch["link"], batch["mask"]
+        def one(p, ig, va):
+            return label_ops.pixellink_labels_stride(
+                p, ig, va, out_hw, out_hw, stride, min_ts
+            )
+        s, l, m = jax.vmap(one)(batch["polys"], batch["tags"], batch["valid"])
+        return s[..., None], l, m[..., None]
+
+    def loss_fn(outputs, batch):
+        if head == "pixellink":
+            score, link, mask = pixellink_labels(batch)
+            if lcfg.name == "ohem":
+                return loss_ops.ohem_pixel_link_loss(
+                    score, outputs["pixel_logits"], link,
+                    outputs["link_logits"], mask,
+                    max_neg_pos_ratio=lcfg.max_neg_pos_ratio,
+                    pixel_loss_weight=lcfg.pixel_loss_weight,
+                )
+            if lcfg.name == "dice":
+                pixel_probs = jax.nn.softmax(
+                    outputs["pixel_logits"], axis=-1
+                )[..., 1:2]
+                link_probs = _pixellink_link_probs(outputs["link_logits"])
+                return loss_ops.dice_pixel_link_loss(
+                    score, pixel_probs, link, link_probs, mask
+                )
+            if lcfg.name == "positive":
+                return loss_ops.positive_pixel_link_loss(
+                    score, outputs["pixel_logits"], link,
+                    outputs["link_logits"],
+                    pixel_loss_weight=lcfg.pixel_loss_weight,
+                )
+            if lcfg.name == "focal":
+                fl = loss_ops.focal_loss(
+                    score, outputs["pixel_logits"], mask,
+                    alpha=lcfg.focal_alpha, gamma=lcfg.focal_gamma,
+                )
+                _, aux = loss_ops.positive_pixel_link_loss(
+                    score, outputs["pixel_logits"], link,
+                    outputs["link_logits"],
+                )
+                total = fl * lcfg.pixel_loss_weight + aux["link_loss"]
+                return total, {"pixel_loss": fl, "link_loss": aux["link_loss"]}
+            raise ValueError(f"loss {lcfg.name} unsupported for pixellink")
+
+        if head == "link8":
+            score, link, mask = pixellink_labels(batch)
+            return loss_ops.dice_pixel_link_loss(
+                score, outputs["score"], link, outputs["link_probs"], mask
+            )
+
+        # EAST
+        if "geo" in batch:  # precomputed label cache (DeviceDataset)
+            score, geo, mask = batch["score"], batch["geo"], batch["mask"]
+        else:
+            score, geo, mask = label_ops.east_labels_batch(
+                batch["polys"], batch["shrunk"], batch["rects"],
+                batch["angles"], batch["tags"], batch["valid"],
+                out_hw, out_hw, stride, min_ts,
+            )
+        if lcfg.name == "focal":
+            cls = loss_ops.focal_loss_binary(
+                score, outputs["score"], mask,
+                alpha=lcfg.focal_alpha, gamma=lcfg.focal_gamma,
+            )
+            _, aux = loss_ops.east_loss(
+                score, outputs["score"], geo, outputs["geometry"], mask,
+                angle_weight=lcfg.east_angle_weight,
+            )
+            total = cls + aux["geo_loss"] * lcfg.east_geo_weight
+            return total, {"cls_loss": cls, "geo_loss": aux["geo_loss"]}
+        return loss_ops.east_loss(
+            score, outputs["score"], geo, outputs["geometry"], mask,
+            angle_weight=lcfg.east_angle_weight,
+        )
+
+    return loss_fn
+
+
+BATCH_KEYS = ("images", "polys", "tags", "valid", "shrunk", "rects", "angles")
+
+
+def _make_step_core(model, tx, cfg: Config):
+    """Per-shard (state, batch) -> (state, metrics) step body, shared by
+    the single-step and the scan'd multi-step builders."""
+    loss_fn = make_loss_fn(cfg)
+    wd = cfg.model.weight_decay
+
+    def step_shard(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        def loss_of(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            out, mutated = model.apply(
+                variables, batch["images"], train=True,
+                mutable=["batch_stats"],
+            )
+            model_loss, aux = loss_fn(out, batch)
+            total = model_loss + optim.l2_regularization(params, wd)
+            return total, (model_loss, aux, mutated.get("batch_stats", {}))
+
+        (total, (model_loss, aux, new_bs)), grads = jax.value_and_grad(
+            loss_of, has_aux=True
+        )(state.params)
+
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        total = jax.lax.pmean(total, DATA_AXIS)
+        model_loss = jax.lax.pmean(model_loss, DATA_AXIS)
+        new_bs = jax.lax.pmean(new_bs, DATA_AXIS) if new_bs else new_bs
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        decay = optim.ema_decay_schedule(
+            cfg.train.moving_average_decay, state.step
+        )
+        new_ema = optim.ema_update(state.ema_params, new_params, decay)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            ema_params=new_ema,
+        )
+        metrics = {"total_loss": total, "model_loss": model_loss}
+        for k, v in aux.items():
+            metrics[k] = jax.lax.pmean(v, DATA_AXIS)
+        return new_state, metrics
+
+    return step_shard
+
+
+def make_train_step(model, tx, cfg: Config, mesh: Mesh):
+    """Builds the jitted shard_map data-parallel train step.
+
+    Batch arrays are sharded on dim 0 over the 'data' axis; state is
+    replicated. Gradients and fresh BN stats are pmean'ed over ICI —
+    the XLA-collective equivalent of average_gradients
+    (multigpu_train.py:70-85).
+    """
+    step_shard = _make_step_core(model, tx, cfg)
+
+    rep = P()
+    shard = P(DATA_AXIS)
+    batch_specs = {k: shard for k in BATCH_KEYS}
+
+    sharded = shard_map(
+        step_shard,
+        mesh=mesh,
+        in_specs=(rep, batch_specs),
+        out_specs=(rep, rep),
+        check_vma=False,
+    )
+    donate = (0,) if cfg.train.donate_state else ()
+    return jax.jit(sharded, donate_argnums=donate)
+
+
+def make_multi_train_step(model, tx, cfg: Config, mesh: Mesh,
+                          extra_keys: tuple = ()):
+    """In-device multi-step training: one dispatch runs S steps via
+    lax.scan over index batches gathered from an HBM-resident dataset
+    (data/device_cache.DeviceDataset).
+
+    Signature of the returned fn: (state, dataset_arrays, idx) where idx is
+    (S, B_global) int32; idx is sharded on its batch dim over the data
+    axis, dataset arrays are replicated, gradients pmean'ed per step.
+    Amortizes host dispatch + transfer across S steps — the difference
+    between ~220 and >2000 images/sec/chip through the tunneled runtime.
+    """
+    step_shard = _make_step_core(model, tx, cfg)
+
+    keys = tuple(BATCH_KEYS) + tuple(extra_keys)
+
+    def multi(state: TrainState, dataset: Dict[str, jnp.ndarray],
+              idx: jnp.ndarray):
+        def body(carry, idx_s):
+            batch = {k: dataset[k][idx_s] for k in keys}
+            new_state, metrics = step_shard(carry, batch)
+            return new_state, metrics
+
+        state, ms = jax.lax.scan(body, state, idx)
+        last = jax.tree_util.tree_map(lambda x: x[-1], ms)
+        return state, last
+
+    rep = P()
+    ds_specs = {k: rep for k in keys}
+    sharded = shard_map(
+        multi,
+        mesh=mesh,
+        in_specs=(rep, ds_specs, P(None, DATA_AXIS)),
+        out_specs=(rep, rep),
+        check_vma=False,
+    )
+    donate = (0,) if cfg.train.donate_state else ()
+    return jax.jit(sharded, donate_argnums=donate)
+
+
+def device_batch(batch: Dict[str, np.ndarray], mesh: Mesh,
+                 want_east: bool) -> Dict[str, jnp.ndarray]:
+    """Pad the host batch to the full key set and shard it on the mesh."""
+    out = {}
+    b = batch["images"].shape[0]
+    k = batch["polys"].shape[1]
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    defaults = {
+        "shrunk": np.zeros((b, k, 4, 2), np.float32),
+        "rects": np.zeros((b, k, 4, 2), np.float32),
+        "angles": np.zeros((b, k), np.float32),
+    }
+    for key in BATCH_KEYS:
+        v = batch.get(key)
+        if v is None:
+            v = defaults[key]
+        out[key] = jax.device_put(v, sh)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Checkpointing (Orbax) — reference multigpu_train.py:144-162
+# --------------------------------------------------------------------------
+
+
+def _ckpt_dir(path: str, step: int) -> str:
+    return os.path.join(os.path.abspath(path), f"ckpt_{step}")
+
+
+def save_checkpoint(path: str, state: TrainState) -> str:
+    import orbax.checkpoint as ocp
+
+    step = int(state.step)
+    d = _ckpt_dir(path, step)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(d, jax.device_get(state), force=True)
+    ckptr.wait_until_finished()
+    return d
+
+
+def latest_checkpoint(path: str) -> Optional[str]:
+    if not os.path.isdir(path):
+        return None
+    steps = []
+    for name in os.listdir(path):
+        if name.startswith("ckpt_"):
+            try:
+                steps.append(int(name.split("_")[1]))
+            except ValueError:
+                continue
+    if not steps:
+        return None
+    return _ckpt_dir(path, max(steps))
+
+
+def restore_checkpoint(path: str, template: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+        template,
+    )
+    return ckptr.restore(path, abstract)
+
+
+def warm_start(params, pretrained_params):
+    """Merge pretrained leaves whose path+shape match — the
+    slim.assign_from_checkpoint_fn(ignore_missing_vars=True) semantics
+    (multigpu_train.py:149-151)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    flat_pre = dict(jax.tree_util.tree_flatten_with_path(pretrained_params)[0])
+    out = []
+    n_loaded = 0
+    for path, leaf in flat[0]:
+        pre = flat_pre.get(path)
+        if pre is not None and jnp.shape(pre) == jnp.shape(leaf):
+            out.append(jnp.asarray(pre, leaf.dtype))
+            n_loaded += 1
+        else:
+            out.append(leaf)
+    return jax.tree_util.tree_unflatten(flat[1], out), n_loaded
+
+
+# --------------------------------------------------------------------------
+# Trainer loop
+# --------------------------------------------------------------------------
+
+
+class Trainer:
+    """Session-loop equivalent (multigpu_train.py:152-194) with NaN guard,
+    throughput meter, periodic checkpoint + summaries."""
+
+    def __init__(self, cfg: Config, mesh: Optional[Mesh] = None,
+                 summary_writer=None):
+        self.cfg = cfg
+        self.mesh = mesh or make_mesh(cfg.train.num_devices)
+        self.want_east = cfg.model.name.startswith("east")
+        self.summary_writer = summary_writer
+        self.model = None
+        self.state = None
+        self.tx = None
+        self._step_fn = None
+
+    def setup(self, sample_batch: Dict[str, np.ndarray]):
+        rng = jax.random.PRNGKey(self.cfg.train.seed)
+        img = sample_batch["images"][:1]
+        self.model, self.state, self.tx = create_train_state(
+            self.cfg, rng, img
+        )
+        tcfg = self.cfg.train
+        if tcfg.restore:
+            ck = latest_checkpoint(tcfg.checkpoint_path)
+            if ck:
+                self.state = restore_checkpoint(ck, self.state)
+                print(f"restored from {ck} at step {int(self.state.step)}")
+        elif tcfg.pretrained_model_path:
+            ck = latest_checkpoint(tcfg.pretrained_model_path) or tcfg.pretrained_model_path
+            pre = restore_checkpoint(ck, self.state)
+            merged, n = warm_start(self.state.params, pre.params)
+            self.state = self.state.replace(params=merged)
+            print(f"warm-started {n} tensors from {ck}")
+        self._step_fn = make_train_step(self.model, self.tx, self.cfg, self.mesh)
+        # replicate state across the mesh
+        rep = NamedSharding(self.mesh, P())
+        self.state = jax.device_put(self.state, rep)
+
+    def run(self, batches, max_steps: Optional[int] = None) -> Dict[str, float]:
+        cfg = self.cfg.train
+        max_steps = max_steps or cfg.max_steps
+        t0 = time.time()
+        last_metrics: Dict[str, float] = {}
+        window = cfg.log_every_steps
+        for step in range(max_steps):
+            batch = next(batches) if hasattr(batches, "__next__") else batches[step]
+            db = device_batch(batch, self.mesh, self.want_east)
+            self.state, metrics = self._step_fn(self.state, db)
+            if step % window == 0:
+                metrics = jax.device_get(metrics)
+                last_metrics = {k: float(v) for k, v in metrics.items()}
+                tl = last_metrics.get("total_loss", float("nan"))
+                if np.isnan(tl):
+                    print("Loss diverged, stop training")
+                    break
+                dt = time.time() - t0
+                t0 = time.time()
+                n_img = batch["images"].shape[0] * window
+                print(
+                    f"Step {step:06d}, model loss {last_metrics.get('model_loss', 0):.4f}, "
+                    f"total loss {tl:.4f}, {dt / window:.3f} s/step, "
+                    f"{n_img / dt:.1f} examples/s"
+                )
+                if self.summary_writer is not None:
+                    for k, v in last_metrics.items():
+                        self.summary_writer.add_scalar(k, v, step)
+            if cfg.save_checkpoint_steps and step > 0 and step % cfg.save_checkpoint_steps == 0:
+                save_checkpoint(cfg.checkpoint_path, self.state)
+        return last_metrics
