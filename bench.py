@@ -30,7 +30,7 @@ def main():
     if not os.path.isdir(data_dir) or len(icdar.get_images(data_dir)) < 16:
         icdar.make_synthetic_dataset(data_dir, num_images=16, size=(720, 1280))
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "16"))
+    batch_size = int(os.environ.get("BENCH_BATCH", "32"))
     steps = int(os.environ.get("BENCH_STEPS", "128"))
     warmup = int(os.environ.get("BENCH_WARMUP", "1"))
 

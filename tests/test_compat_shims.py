@@ -1,0 +1,120 @@
+"""Reference-API compatibility shims (nets/, datasets/, tool/)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+
+def test_nets_model_api():
+    from nets import model as M
+
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    pixel, link = M.model(img, is_training=False)
+    assert pixel.shape == (1, 16, 16, 2)
+    assert link.shape == (1, 16, 16, 16)
+
+    # loss with reference argument order
+    rng = np.random.RandomState(0)
+    yt = (rng.rand(2, 8, 8, 1) > 0.5).astype(np.float32)
+    yp = rng.randn(2, 8, 8, 2).astype(np.float32)
+    lt = (rng.rand(2, 8, 8, 8) > 0.5).astype(np.float32)
+    lp = rng.randn(2, 8, 8, 16).astype(np.float32)
+    m = np.ones((2, 8, 8, 1), np.float32)
+    total = M.loss(jnp.array(yt), jnp.array(yp), jnp.array(lt),
+                   jnp.array(lp), jnp.array(m))
+    assert np.isfinite(float(total))
+
+    d = M.dice_coefficient(jnp.array(yt), jnp.array(yt), jnp.array(m))
+    assert float(d) == pytest.approx(0.0, abs=1e-4)
+
+
+def test_nets_model_vgg16_api():
+    from nets import model_vgg_16 as MV
+
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    pixel, link = MV.model_vgg(img, is_training=False)
+    assert pixel.shape == (1, 16, 16, 2) and link.shape == (1, 16, 16, 16)
+    score, links8 = MV.model(img, is_training=False)
+    assert score.shape == (1, 16, 16, 1) and links8.shape == (1, 16, 16, 8)
+
+
+def test_nets_backbones_api():
+    from nets import resnet_v1, vgg
+
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    net, ep = resnet_v1.resnet_v1_50(img, is_training=False)
+    assert set(ep) >= {"pool2", "pool3", "pool4", "pool5"}
+    net, ep = vgg.basenet(img)
+    assert "fc7" in ep and "conv3_3" in ep
+
+
+def test_nets_pixellink_class():
+    from nets.pixellink import PixelLinkNet
+
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    net = PixelLinkNet(img)
+    assert net.pixel_cls.shape == (1, 16, 16, 2)
+    assert net.link_cls.shape == (1, 16, 16, 16)
+    labels = jnp.zeros((1, 16, 16, 1))
+    links = jnp.zeros((1, 16, 16, 8))
+    loss = net.build_loss(labels, links)
+    assert np.isfinite(float(loss))
+
+
+def test_datasets_icdar_generate_rbox():
+    from datasets import icdar as DI
+
+    polys = np.array([[[4, 4], [40, 4], [40, 20], [4, 20]]], np.float32)
+    tags = np.array([False])
+    score, link, mask = DI.generate_rbox((64, 64), polys, tags)
+    assert score.shape == (64, 64) and link.shape == (64, 64, 8)
+    assert score[10, 10] == 1 and mask[10, 10] == 1
+
+
+def test_tool_pixellink_fn():
+    from tool import pixellink_fn as PF
+
+    xs = np.array([[0.1, 0.6, 0.6, 0.1]], np.float32)
+    ys = np.array([[0.1, 0.1, 0.4, 0.4]], np.float32)
+    score, link, show = PF.generate_rbox(64, 64, xs, ys)
+    assert score.shape == (16, 16) and link.shape == (16, 16, 8)
+    assert show.shape == (200, 4)
+    res = PF.pixel_detect(score, link, 0.5, 0.5)
+    assert res.shape == (16, 16) and res.max() <= 1
+
+
+def test_tool_data_util_enqueuer():
+    from tool.data_util import GeneratorEnqueuer
+
+    def gen():
+        for i in range(5):
+            yield i
+
+    e = GeneratorEnqueuer(gen())
+    e.start(workers=2, max_queue_size=4)
+    got = sorted(e.get() for _ in range(5))
+    assert got == [0, 1, 2, 3, 4]
+    e.stop()
+
+
+def test_tool_metrics_and_math():
+    from tool.math import safe_divide
+    from tool.metrics import precision_recall, fmean, streaming_tp_fp_arrays
+
+    assert safe_divide(1, 0) == 0
+    p, r = precision_recall(2, [1, 0, 1], [0, 1, 0])
+    assert p[-1] == pytest.approx(2 / 3)
+    assert r[-1] == pytest.approx(1.0)
+    assert fmean(0.5, 0.5) == pytest.approx(0.5)
+    prf = streaming_tp_fp_arrays()
+    assert prf.matching_threshold == 0.5
+
+
+def test_tool_bboxes():
+    from tool.bboxes import bboxes_matching, np_bboxes_jaccard
+
+    bbox = np.array([0, 0, 10, 0, 10, 10, 0, 10], np.float32)
+    gxs = np.array([[0, 10, 10, 0]], np.float32)
+    gys = np.array([[0, 0, 10, 10]], np.float32)
+    iou = np_bboxes_jaccard(bbox, gxs, gys)
+    assert iou[0] == pytest.approx(1.0)
