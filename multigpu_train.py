@@ -34,13 +34,9 @@ def main(argv):
     want_east = cfg.model.name.startswith("east")
     loader = PrefetchLoader(cfg.data, want_east=want_east, seed=cfg.train.seed)
 
-    writer = None
-    try:
-        from torch.utils.tensorboard import SummaryWriter
+    from tensorflow_ocr_tpu.utils.summary import SummaryWriter
 
-        writer = SummaryWriter(cfg.train.checkpoint_path)
-    except Exception:
-        pass
+    writer = SummaryWriter(cfg.train.checkpoint_path)
 
     trainer = Trainer(cfg, mesh, summary_writer=writer)
     first = next(loader)

@@ -448,6 +448,33 @@ class Trainer:
                 if self.summary_writer is not None:
                     for k, v in last_metrics.items():
                         self.summary_writer.add_scalar(k, v, step)
+            if (self.summary_writer is not None
+                    and cfg.save_summary_steps
+                    and step % cfg.save_summary_steps == 0
+                    and hasattr(self.summary_writer, "add_detection_summaries")):
+                self._emit_image_summaries(batch, step)
             if cfg.save_checkpoint_steps and step > 0 and step % cfg.save_checkpoint_steps == 0:
                 save_checkpoint(cfg.checkpoint_path, self.state)
         return last_metrics
+
+    def _emit_image_summaries(self, batch, step: int):
+        """Reference's TB image panel (multigpu_train.py:50-63): input frame
+        + predicted text-score map for the first sample."""
+        try:
+            variables = {"params": self.state.params}
+            bs = self.state.batch_stats
+            if bs:
+                variables["batch_stats"] = bs
+            img = jnp.asarray(batch["images"][:1], jnp.float32)
+            out = jax.jit(lambda v, x: self.model.apply(v, x))(variables, img)
+            if "pixel_logits" in out:
+                pred = jax.nn.softmax(out["pixel_logits"], axis=-1)[..., 1:]
+            else:
+                pred = out["score"]
+            self.summary_writer.add_detection_summaries(
+                step,
+                images=np.asarray(batch["images"][:1], np.float32),
+                pred_score=np.asarray(pred),
+            )
+        except Exception:
+            pass  # observability must never take down training
