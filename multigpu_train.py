@@ -32,13 +32,18 @@ def main(argv):
 
     os.makedirs(cfg.train.checkpoint_path, exist_ok=True)
     want_east = cfg.model.name.startswith("east")
-    loader = PrefetchLoader(cfg.data, want_east=want_east, seed=cfg.train.seed)
 
     from tensorflow_ocr_tpu.utils.summary import SummaryWriter
 
     writer = SummaryWriter(cfg.train.checkpoint_path)
 
     trainer = Trainer(cfg, mesh, summary_writer=writer)
+    if cfg.train.use_device_cache:
+        trainer.run_device_cached(max_steps=cfg.train.max_steps)
+        save_checkpoint(cfg.train.checkpoint_path, trainer.state)
+        return
+
+    loader = PrefetchLoader(cfg.data, want_east=want_east, seed=cfg.train.seed)
     first = next(loader)
     trainer.setup(first)
 

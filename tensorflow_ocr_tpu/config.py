@@ -94,6 +94,11 @@ class TrainConfig:
     # Data parallel axis size; None = all visible devices.
     num_devices: Optional[int] = None
     donate_state: bool = True
+    # In-device training loop: stage the dataset in HBM (DeviceDataset) and
+    # run scan_steps train steps per dispatch. Requires augmentation off
+    # (the reference's default) and the dataset to fit in HBM.
+    use_device_cache: bool = False
+    scan_steps: int = 16
 
 
 @dataclass

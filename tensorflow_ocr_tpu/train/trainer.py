@@ -457,6 +457,63 @@ class Trainer:
                 save_checkpoint(cfg.checkpoint_path, self.state)
         return last_metrics
 
+    def run_device_cached(self, max_steps: Optional[int] = None) -> Dict[str, float]:
+        """In-device training loop over an HBM-staged dataset.
+
+        One dispatch per ``cfg.train.scan_steps`` steps (lax.scan); the host
+        only draws shuffle indices. Requires augmentation off.
+        """
+        from tensorflow_ocr_tpu.data.device_cache import DeviceDataset
+
+        cfg = self.cfg
+        assert not (cfg.data.use_crop or cfg.data.use_rotate
+                    or cfg.data.use_random_scale), (
+            "device-cached loop requires augmentation off; use run() instead"
+        )
+        ds = DeviceDataset(cfg.data, want_east=self.want_east,
+                           precompute_labels=True)
+        if self.model is None:
+            self.setup({k: v[:1] for k, v in ds.arrays().items()
+                        if k in ("images", "polys", "tags", "valid")})
+        rep = NamedSharding(self.mesh, P())
+        ds_dev = {k: jax.device_put(v, rep) for k, v in ds.arrays().items()}
+        idx_sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        multi = make_multi_train_step(
+            self.model, self.tx, cfg, self.mesh,
+            extra_keys=tuple(ds.labels.keys()),
+        )
+        rng = np.random.RandomState(cfg.train.seed)
+        s = cfg.train.scan_steps
+        batch = cfg.data.batch_size
+        max_steps = max_steps or cfg.train.max_steps
+        t0 = time.time()
+        last: Dict[str, float] = {}
+        step = 0
+        while step < max_steps:
+            idx = ds.index_batches(batch, s, rng)
+            self.state, metrics = multi(
+                self.state, ds_dev, jax.device_put(idx, idx_sh)
+            )
+            step += s
+            last = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            if np.isnan(last.get("total_loss", 0.0)):
+                print("Loss diverged, stop training")
+                break
+            dt = time.time() - t0
+            t0 = time.time()
+            print(
+                f"Step {step:06d}, model loss {last.get('model_loss', 0):.4f}, "
+                f"total loss {last.get('total_loss', 0):.4f}, "
+                f"{dt / s:.4f} s/step, {s * batch / dt:.1f} examples/s"
+            )
+            if self.summary_writer is not None:
+                for k, v in last.items():
+                    self.summary_writer.add_scalar(k, v, step)
+            if (cfg.train.save_checkpoint_steps
+                    and step % max(cfg.train.save_checkpoint_steps, s) == 0):
+                save_checkpoint(cfg.train.checkpoint_path, self.state)
+        return last
+
     def _emit_image_summaries(self, batch, step: int):
         """Reference's TB image panel (multigpu_train.py:50-63): input frame
         + predicted text-score map for the first sample."""

@@ -103,6 +103,21 @@ def test_prefetch_loader_delivers(dataset):
         loader.stop()
 
 
+def test_grain_loader_batches(dataset):
+    path, _ = dataset
+    cfg = DataConfig(
+        training_data_path=path, input_size=128, batch_size=2,
+        max_polys=8, num_workers=1,
+    )
+    from tensorflow_ocr_tpu.data.grain_pipeline import grain_loader
+
+    it = grain_loader(cfg, seed=0, num_epochs=1)
+    b = next(it)
+    assert b["images"].shape == (2, 128, 128, 3)
+    assert b["images"].dtype == np.uint8
+    assert b["polys"].shape == (2, 8, 4, 2)
+
+
 def test_rotate_keeps_poly_count():
     im = np.zeros((100, 100, 3), np.uint8)
     polys = np.array([[[20, 20], [60, 20], [60, 40], [20, 40]]], np.float32)
