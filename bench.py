@@ -17,7 +17,62 @@ import tempfile
 import time
 
 
+def detect_latency_main():
+    """BENCH_MODE=detect: p50 single-image detect latency (ms) at the
+    reference's 1280x768 PixelLink eval shape (test_pixellink.py:17-18)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from tensorflow_ocr_tpu.config import Config
+    from tensorflow_ocr_tpu.infer import (
+        link_scores_from_logits,
+        pixel_scores_from_logits,
+    )
+    from tensorflow_ocr_tpu.models import build_model
+    from tensorflow_ocr_tpu.ops import decode as D
+
+    cfg = Config()
+    model = build_model("pixellink_resnet50")
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 768, 1280, 3), jnp.float32)
+    variables = jax.jit(model.init)(rng, x)
+
+    @jax.jit
+    def run(variables, image):
+        out = model.apply(variables, image)
+        ps = pixel_scores_from_logits(out["pixel_logits"][0])
+        ls = link_scores_from_logits(out["link_logits"][0])
+        return D.pixellink_decode(ps, ls, 0.8, 0.9, min_size=10,
+                                  max_components=128)
+
+    rng_np = np.random.RandomState(0)
+    img = jnp.asarray(rng_np.rand(1, 768, 1280, 3).astype(np.float32) * 255)
+    boxes, sizes, valid = run(variables, img)
+    _ = np.asarray(valid)  # hard sync (compile)
+    times = []
+    for _i in range(20):
+        t0 = time.time()
+        boxes, sizes, valid = run(variables, img)
+        _ = np.asarray(valid)
+        times.append((time.time() - t0) * 1000)
+    p50 = float(np.percentile(times, 50))
+    print(
+        json.dumps(
+            {
+                "metric": "detect_latency_p50_1280x768",
+                "value": round(p50, 2),
+                "unit": "ms",
+                "vs_baseline": 0.0,
+            }
+        )
+    )
+
+
 def main():
+    if os.environ.get("BENCH_MODE") == "detect":
+        detect_latency_main()
+        return
     # synthetic ICDAR-format dataset (the container ships no ICDAR data)
     data_dir = os.path.join(tempfile.gettempdir(), "ocr_bench_data")
     import numpy as np
