@@ -53,9 +53,13 @@ class Predictor:
             if ck:
                 state = T.restore_checkpoint(ck, state)
         params = state.ema_params if use_ema else state.params
-        self.variables = {"params": params}
+        variables = {"params": params}
         if state.batch_stats:
-            self.variables["batch_stats"] = state.batch_stats
+            variables["batch_stats"] = state.batch_stats
+        # Pin weights on device once: Orbax restores host-resident arrays,
+        # and passing them per call would re-transfer ~100 MB of params on
+        # every detect() (measured as 2-4 s/image through the tunnel).
+        self.variables = jax.device_put(variables)
         self.is_east = cfg.model.name.startswith("east")
         self._fwd_cache: Dict[Tuple[int, int], callable] = {}
 
