@@ -410,11 +410,31 @@ class Trainer:
                 self.state = restore_checkpoint(ck, self.state)
                 print(f"restored from {ck} at step {int(self.state.step)}")
         elif tcfg.pretrained_model_path:
-            ck = latest_checkpoint(tcfg.pretrained_model_path) or tcfg.pretrained_model_path
-            pre = restore_checkpoint(ck, self.state)
-            merged, n = warm_start(self.state.params, pre.params)
-            self.state = self.state.replace(params=merged)
-            print(f"warm-started {n} tensors from {ck}")
+            if tcfg.pretrained_model_path.endswith(".npz"):
+                # slim ImageNet checkpoint converted to .npz
+                from tensorflow_ocr_tpu.train.pretrained import import_backbone
+
+                variables = {"params": self.state.params}
+                if self.state.batch_stats:
+                    variables["batch_stats"] = self.state.batch_stats
+                new_vars, n = import_backbone(
+                    variables, tcfg.pretrained_model_path
+                )
+                self.state = self.state.replace(
+                    params=new_vars["params"],
+                    batch_stats=new_vars.get(
+                        "batch_stats", self.state.batch_stats
+                    ),
+                    ema_params=jax.tree_util.tree_map(
+                        jnp.asarray, new_vars["params"]
+                    ),
+                )
+            else:
+                ck = latest_checkpoint(tcfg.pretrained_model_path) or tcfg.pretrained_model_path
+                pre = restore_checkpoint(ck, self.state)
+                merged, n = warm_start(self.state.params, pre.params)
+                self.state = self.state.replace(params=merged)
+            print(f"warm-started {n} tensors from {tcfg.pretrained_model_path}")
         self._step_fn = make_train_step(self.model, self.tx, self.cfg, self.mesh)
         # replicate state across the mesh
         rep = NamedSharding(self.mesh, P())

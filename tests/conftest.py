@@ -17,6 +17,11 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the suite is dominated by XLA CPU compiles of
+# the train/model programs; caching makes re-runs ~10x faster.
+jax.config.update("jax_compilation_cache_dir", "/tmp/ocr_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
