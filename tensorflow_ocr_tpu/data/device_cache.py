@@ -43,11 +43,13 @@ class DeviceDataset:
         if max_images:
             files = files[:max_images]
         rng = np.random.RandomState(0)
-        samples = []
-        for fn in files:
-            s = icdar.prepare_sample(fn, cfg, rng, want_east=want_east)
-            if s is not None:
-                samples.append(s)
+        samples = self._stage_native(files, cfg, want_east)
+        if samples is None:
+            samples = []
+            for fn in files:
+                s = icdar.prepare_sample(fn, cfg, rng, want_east=want_east)
+                if s is not None:
+                    samples.append(s)
         if not samples:
             raise FileNotFoundError(
                 f"no usable training images in {cfg.training_data_path}"
@@ -65,6 +67,64 @@ class DeviceDataset:
         self.labels: Dict[str, np.ndarray] = {}
         if precompute_labels:
             self._precompute(cfg, label_stride)
+
+    @staticmethod
+    def _stage_native(files, cfg: DataConfig, want_east: bool):
+        """Batch-stage via the C++ loader when augmentation is off.
+
+        Decode+resize of the whole dataset happens in one native call over
+        a thread pool; Python only parses the (tiny) gt files and scales
+        polygons. Returns None to fall back when unavailable/augmented.
+        """
+        if cfg.use_crop or cfg.use_rotate or cfg.use_random_scale:
+            return None
+        try:
+            from tensorflow_ocr_tpu.data.native_loader import (
+                NativeBatchLoader,
+                native_available,
+            )
+
+            if not native_available():
+                return None
+            loader = NativeBatchLoader(num_threads=max(2, cfg.num_workers))
+        except Exception:
+            return None
+        from tensorflow_ocr_tpu.ops import geometry as G
+
+        size = cfg.input_size
+        imgs, ok, src_hw = loader.load_batch(list(files), size, size)
+        loader.close()
+        samples = []
+        for i, fn in enumerate(files):
+            if not ok[i]:
+                continue
+            txt = icdar.gt_path_for_image(fn)
+            import os
+
+            if not os.path.exists(txt):
+                continue
+            polys, tags = icdar.load_annotation(txt)
+            h, w = int(src_hw[i, 0]), int(src_hw[i, 1])
+            polys, tags = G.check_and_validate_polys(polys, tags, (h, w))
+            if polys.shape[0] == 0:
+                continue
+            polys = polys.copy()
+            polys[:, :, 0] *= size / float(w)
+            polys[:, :, 1] *= size / float(h)
+            padded, ptags, pvalid = icdar._pad_polys(polys, tags, cfg.max_polys)
+            if want_east:
+                shrunk, rects, angles = icdar.east_poly_geometry(padded)
+            else:
+                shrunk = np.zeros_like(padded)
+                rects = np.zeros_like(padded)
+                angles = np.zeros((cfg.max_polys,), np.float32)
+            samples.append(
+                icdar.Sample(
+                    image=imgs[i], polys=padded, tags=ptags, valid=pvalid,
+                    shrunk=shrunk, rects=rects, angles=angles, fn=fn,
+                )
+            )
+        return samples or None
 
     def _precompute(self, cfg: DataConfig, stride: int):
         import jax
