@@ -51,7 +51,24 @@ def _intersect(p1, p2, a, b):
 
 
 def quad_iou(p1: np.ndarray, p2: np.ndarray) -> float:
-    """Polygon IoU of two convex quads (exact clip, not rasterized)."""
+    """Polygon IoU of two convex quads (exact clip, not rasterized).
+
+    Uses OpenCV's native intersectConvexConvex when available (the pure-
+    Python Sutherland-Hodgman fallback is ~100x slower, which matters in
+    the O(N^2) NMS loops).
+    """
+    try:
+        import cv2
+
+        a1 = _poly_area(p1)
+        a2 = _poly_area(p2)
+        inter, _ = cv2.intersectConvexConvex(
+            p1.astype(np.float32), p2.astype(np.float32)
+        )
+        union = a1 + a2 - inter
+        return float(inter / union) if union > 0 else 0.0
+    except Exception:
+        pass
     inter_poly = _clip_polygon(p1.astype(np.float64), p2.astype(np.float64))
     if len(inter_poly) < 3:
         return 0.0
