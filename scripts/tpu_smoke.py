@@ -15,7 +15,7 @@ import time
 import numpy as np
 
 
-def main(steps: int = 400):
+def main(steps: int = 400, model: str = "pixellink_resnet50"):
     import cv2
     import jax
 
@@ -34,8 +34,8 @@ def main(steps: int = 400):
     make_synthetic_dataset(ds_dir, 12, (512, 512), seed=9)
 
     cfg = Config()
-    cfg.model.name = "pixellink_resnet50"
-    cfg.loss.name = "ohem"
+    cfg.model.name = model
+    cfg.loss.name = "east" if model.startswith("east") else "ohem"
     cfg.data.training_data_path = ds_dir
     cfg.data.input_size = 512
     cfg.data.batch_size = 8
@@ -59,6 +59,8 @@ def main(steps: int = 400):
     cfg.infer.pixel_conf_threshold = 0.7
     cfg.infer.link_conf_threshold = 0.5
     cfg.infer.min_component_size = 3
+    cfg.infer.score_map_thresh = 0.8
+    cfg.infer.nms_thresh = 0.2
     cfg.infer.max_side_len = 512
     p = Predictor(cfg)
     for fn in get_images(ds_dir):
@@ -74,6 +76,9 @@ def main(steps: int = 400):
 
 if __name__ == "__main__":
     steps = 400
+    model = "pixellink_resnet50"
     if "--steps" in sys.argv:
         steps = int(sys.argv[sys.argv.index("--steps") + 1])
-    main(steps)
+    if "--model" in sys.argv:
+        model = sys.argv[sys.argv.index("--model") + 1]
+    main(steps, model)
