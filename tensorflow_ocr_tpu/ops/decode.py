@@ -99,6 +99,7 @@ def _shift_i32(x: jnp.ndarray, dx: int, dy: int, fill) -> jnp.ndarray:
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("max_iters",))
 def connected_components(edges: jnp.ndarray, pixel_mask: jnp.ndarray,
                          max_iters: int | None = None) -> jnp.ndarray:
     """Weakly-connected components of the 8-direction link graph.

@@ -108,6 +108,7 @@ def cc_sweeps_pallas(labels: jnp.ndarray, packed_edges: jnp.ndarray,
     )(labels, packed_edges)
 
 
+@functools.partial(jax.jit, static_argnames=("sweeps_per_call", "interpret"))
 def connected_components_pallas(edges: jnp.ndarray, pixel_mask: jnp.ndarray,
                                 sweeps_per_call: int = 16,
                                 interpret: bool = False) -> jnp.ndarray:
