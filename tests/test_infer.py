@@ -1,0 +1,94 @@
+"""Predictor + utils: score conversion, resize rule, writers, summaries."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tensorflow_ocr_tpu.infer import (
+    link_scores_from_logits,
+    pixel_scores_from_logits,
+)
+from tensorflow_ocr_tpu.utils.image import (
+    draw_boxes,
+    resize_image,
+    write_result_txt,
+)
+from tensorflow_ocr_tpu.utils.profiling import StepTimer
+from tensorflow_ocr_tpu.utils.summary import SummaryWriter
+
+
+def test_pixel_scores_softmax_channel1():
+    logits = np.zeros((4, 4, 2), np.float32)
+    logits[..., 1] = 10.0
+    s = np.asarray(pixel_scores_from_logits(jnp.array(logits)))
+    assert s.shape == (4, 4)
+    assert (s > 0.99).all()
+
+
+def test_link_scores_pairwise():
+    logits = np.zeros((4, 4, 16), np.float32)
+    logits[..., 1::2] = 5.0  # every pair's positive logit high
+    s = np.asarray(link_scores_from_logits(jnp.array(logits)))
+    assert s.shape == (4, 4, 8)
+    assert (s > 0.99).all()
+
+
+def test_resize_image_32_multiple_rule():
+    im = np.zeros((500, 700, 3), np.uint8)
+    out, (rh, rw) = resize_image(im)
+    # reference rounding: (500//32-1)*32 = 448; (700//32-1)*32 = 640
+    assert out.shape[:2] == (448, 640)
+    assert rh == pytest.approx(448 / 500)
+    im2 = np.zeros((512, 640, 3), np.uint8)
+    out2, _ = resize_image(im2)
+    assert out2.shape[:2] == (512, 640)  # already multiples of 32
+
+
+def test_resize_image_caps_long_side():
+    im = np.zeros((1000, 8000, 3), np.uint8)
+    out, _ = resize_image(im, max_side_len=3000)
+    assert max(out.shape[:2]) <= 3000
+
+
+def test_write_result_txt_crlf(tmp_path):
+    boxes = [np.array([[1, 2], [3, 4], [5, 6], [7, 8]])]
+    f = write_result_txt(str(tmp_path), "/x/img_1.jpg", boxes)
+    raw = open(f, "rb").read()
+    assert raw == b"1,2,3,4,5,6,7,8\r\n"
+    assert os.path.basename(f) == "res_img_1.txt"
+
+
+def test_draw_boxes_shape():
+    im = np.zeros((50, 50, 3), np.uint8)
+    out = draw_boxes(im, [np.array([[5, 5], [40, 5], [40, 40], [5, 40]])])
+    assert out.shape == im.shape and out.sum() > 0
+
+
+def test_step_timer_stats():
+    t = StepTimer()
+    import time as _t
+
+    for _ in range(4):
+        t.tick()
+        _t.sleep(0.01)
+    s = t.stats(batch_size=8)
+    assert s["sec_per_step_p50"] >= 0.009
+    assert s["examples_per_sec"] > 0
+
+
+def test_summary_writer_roundtrip(tmp_path):
+    w = SummaryWriter(str(tmp_path))
+    w.add_scalar("loss", 1.0, 0)
+    w.add_scalars({"a": 1.0, "b": 2.0}, 1)
+    w.add_image_hwc("img", np.random.rand(8, 8, 3).astype(np.float32), 0)
+    w.add_detection_summaries(
+        0,
+        images=np.random.rand(1, 8, 8, 3).astype(np.float32) * 255,
+        pred_score=np.random.rand(1, 4, 4, 1).astype(np.float32),
+    )
+    w.flush()
+    w.close()
+    files = os.listdir(tmp_path)
+    assert any("tfevents" in f for f in files)
