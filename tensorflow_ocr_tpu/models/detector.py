@@ -32,6 +32,9 @@ from tensorflow_ocr_tpu.models.heads import (
 )
 
 VGG_PIXELLINK_KEYS = ("fc7", "conv5_3", "conv4_3", "conv3_3")
+# PixelLink "2s" variant: fuse one level finer (conv2_2, stride 2) for the
+# higher-resolution head named by BASELINE config #3 (PixelLink paper's 2s).
+VGG_PIXELLINK_2S_KEYS = ("fc7", "conv5_3", "conv4_3", "conv3_3", "conv2_2")
 RESNET_KEYS = ("pool5", "pool4", "pool3", "pool2")
 
 
@@ -41,6 +44,7 @@ class Detector(nn.Module):
     backbone_name: str = "resnet50"
     head_name: str = "pixellink"
     text_scale: int = 512
+    output_stride: int = 4
     dtype: Any = jnp.bfloat16
 
     def setup(self):
@@ -51,7 +55,10 @@ class Detector(nn.Module):
             upsample_first = True
         elif self.backbone_name == "vgg16":
             self.backbone = VGG16(dtype=self.dtype)
-            keys = VGG_PIXELLINK_KEYS
+            keys = (
+                VGG_PIXELLINK_2S_KEYS if self.output_stride == 2
+                else VGG_PIXELLINK_KEYS
+            )
             # fc7 and conv5_3 share stride 16 in VGG: first fuse has no
             # upsample (reference nets/model_vgg_16.py:163)
             upsample_first = False
@@ -89,6 +96,8 @@ MODEL_REGISTRY = {
     "pixellink_resnet50": dict(backbone_name="resnet50", head_name="pixellink"),
     "pixellink_resnet101": dict(backbone_name="resnet101", head_name="pixellink"),
     "pixellink_vgg16": dict(backbone_name="vgg16", head_name="pixellink"),
+    "pixellink2s_vgg16": dict(backbone_name="vgg16", head_name="pixellink",
+                              output_stride=2),
     "east_resnet50": dict(backbone_name="resnet50", head_name="east"),
     "east_resnet101": dict(backbone_name="resnet101", head_name="east"),
     "east_vgg16": dict(backbone_name="vgg16", head_name="east"),

@@ -87,7 +87,7 @@ def _pixellink_link_probs(link_logits):
 def make_loss_fn(cfg: Config) -> Callable:
     """Returns loss(outputs, batch) -> (total, aux) for the configured
     model family + loss."""
-    stride = 4
+    stride = 2 if "2s" in cfg.model.name else 4
     out_hw = cfg.data.input_size // stride
     min_ts = cfg.data.min_text_size
     lcfg = cfg.loss
@@ -384,10 +384,12 @@ def warm_start(params, pretrained_params):
 
 class Trainer:
     """Session-loop equivalent (multigpu_train.py:152-194) with NaN guard,
-    throughput meter, periodic checkpoint + summaries."""
+    throughput meter, periodic checkpoint + summaries, and preemption
+    handling (SIGTERM -> checkpoint + clean stop; the reference had no
+    preemption story, SURVEY.md §5.3)."""
 
     def __init__(self, cfg: Config, mesh: Optional[Mesh] = None,
-                 summary_writer=None):
+                 summary_writer=None, install_signal_handler: bool = False):
         self.cfg = cfg
         self.mesh = mesh or make_mesh(cfg.train.num_devices)
         self.want_east = cfg.model.name.startswith("east")
@@ -396,6 +398,24 @@ class Trainer:
         self.state = None
         self.tx = None
         self._step_fn = None
+        self._preempted = False
+        if install_signal_handler:
+            self.install_preemption_handler()
+
+    def install_preemption_handler(self):
+        import signal
+
+        def handler(signum, frame):
+            self._preempted = True
+
+        signal.signal(signal.SIGTERM, handler)
+
+    def _maybe_handle_preemption(self) -> bool:
+        if self._preempted:
+            path = save_checkpoint(self.cfg.train.checkpoint_path, self.state)
+            print(f"preempted: checkpoint saved to {path}")
+            return True
+        return False
 
     def setup(self, sample_batch: Dict[str, np.ndarray]):
         rng = jax.random.PRNGKey(self.cfg.train.seed)
@@ -475,6 +495,8 @@ class Trainer:
                 self._emit_image_summaries(batch, step)
             if cfg.save_checkpoint_steps and step > 0 and step % cfg.save_checkpoint_steps == 0:
                 save_checkpoint(cfg.checkpoint_path, self.state)
+            if self._maybe_handle_preemption():
+                break
         return last_metrics
 
     def run_device_cached(self, max_steps: Optional[int] = None) -> Dict[str, float]:
@@ -532,6 +554,8 @@ class Trainer:
             if (cfg.train.save_checkpoint_steps
                     and step % max(cfg.train.save_checkpoint_steps, s) == 0):
                 save_checkpoint(cfg.train.checkpoint_path, self.state)
+            if self._maybe_handle_preemption():
+                break
         return last
 
     def _emit_image_summaries(self, batch, step: int):

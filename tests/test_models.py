@@ -45,6 +45,15 @@ def test_pixellink_resnet50_outputs(img64):
     assert out["pixel_logits"].dtype == jnp.float32
 
 
+def test_pixellink2s_vgg16_outputs(img64):
+    model = build_model("pixellink2s_vgg16")
+    vars_ = model.init(jax.random.PRNGKey(0), img64)
+    out = model.apply(vars_, img64)
+    # stride-2 maps (PixelLink 2s, BASELINE config #3)
+    assert out["pixel_logits"].shape == (1, 32, 32, 2)
+    assert out["link_logits"].shape == (1, 32, 32, 16)
+
+
 def test_pixellink_vgg16_outputs(img64):
     model = build_model("pixellink_vgg16")
     vars_ = model.init(jax.random.PRNGKey(0), img64)

@@ -153,6 +153,26 @@ def test_warm_start_merges_matching(dataset):
     assert float(jnp.abs(jax.tree_util.tree_leaves(merged)[0]).sum()) == 0.0
 
 
+def test_preemption_checkpoints_and_stops(dataset, tmp_path):
+    cfg = _tiny_cfg(dataset)
+    cfg.train.checkpoint_path = str(tmp_path / "ckpt")
+    mesh = make_mesh(1)
+    from tensorflow_ocr_tpu.data.pipeline import batch_generator as bg
+
+    batch = next(bg(cfg.data, seed=0))
+    tr = T.Trainer(cfg, mesh)
+    tr.setup(batch)
+    tr._preempted = True  # simulate SIGTERM delivery
+
+    def batches():
+        while True:
+            yield batch
+
+    tr.run(batches(), max_steps=50)
+    assert int(tr.state.step) == 1  # stopped after the first step
+    assert T.latest_checkpoint(cfg.train.checkpoint_path) is not None
+
+
 def test_trainer_run_loop(dataset, capsys):
     cfg = _tiny_cfg(dataset)
     mesh = make_mesh(1)
