@@ -48,16 +48,37 @@ def piecewise_staircase(lr: float, breakpoints: Sequence[int],
     return sched
 
 
-def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+def kernel_mask(params):
+    """True for conv/dense kernels — the set slim's l2_regularizer covered
+    (weights only, not biases/BN; reference resnet_utils.py:230)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: "kernel" in str(path[-1]), params
+    )
+
+
+def make_optimizer(cfg: TrainConfig,
+                   weight_decay: float = 0.0) -> optax.GradientTransformation:
+    """LR schedule + optional L2 + Adam/Momentum.
+
+    L2 is applied as grad += wd * w inside the chain (before the optimizer
+    transform), which is mathematically identical to adding
+    wd/2*sum(w^2) to the loss — but avoids materializing ~100 per-kernel
+    scalar reductions every step (measured ~15 ms/step at 512px batch 32).
+    """
     sched = exponential_staircase(
         cfg.learning_rate, cfg.lr_decay_steps, cfg.lr_decay_rate,
         cfg.lr_staircase,
     )
+    parts = []
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay, mask=kernel_mask))
     if cfg.optimizer == "adam":
-        return optax.adam(sched)
-    if cfg.optimizer == "momentum":
-        return optax.sgd(sched, momentum=cfg.momentum)
-    raise ValueError(f"unknown optimizer {cfg.optimizer}")
+        parts.append(optax.adam(sched))
+    elif cfg.optimizer == "momentum":
+        parts.append(optax.sgd(sched, momentum=cfg.momentum))
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer}")
+    return optax.chain(*parts)
 
 
 def ema_decay_schedule(base_decay: float, step: jnp.ndarray) -> jnp.ndarray:

@@ -50,7 +50,7 @@ class TrainState(struct.PyTreeNode):
 def create_train_state(cfg: Config, rng: jax.Array,
                        sample_image: np.ndarray) -> Tuple[Any, TrainState, optax.GradientTransformation]:
     model = build_model(cfg.model.name, text_scale=cfg.model.text_scale)
-    tx = optim.make_optimizer(cfg.train)
+    tx = optim.make_optimizer(cfg.train, weight_decay=cfg.model.weight_decay)
 
     # One jitted program for the whole init: eager per-op dispatch is
     # pathologically slow on remote/tunneled backends.
@@ -179,11 +179,14 @@ def make_loss_fn(cfg: Config) -> Callable:
 BATCH_KEYS = ("images", "polys", "tags", "valid", "shrunk", "rects", "angles")
 
 
-def _make_step_core(model, tx, cfg: Config):
+def _make_step_core(model, tx, cfg: Config, include_l2_metric: bool = True):
     """Per-shard (state, batch) -> (state, metrics) step body, shared by
-    the single-step and the scan'd multi-step builders."""
+    the single-step and the scan'd multi-step builders.
+
+    include_l2_metric: add the L2 value to total_loss inside the step (the
+    multi-step builder sets False and adds it once per dispatch instead).
+    """
     loss_fn = make_loss_fn(cfg)
-    wd = cfg.model.weight_decay
 
     def step_shard(state: TrainState, batch: Dict[str, jnp.ndarray]):
         def loss_of(params):
@@ -195,8 +198,10 @@ def _make_step_core(model, tx, cfg: Config):
                 mutable=["batch_stats"],
             )
             model_loss, aux = loss_fn(out, batch)
-            total = model_loss + optim.l2_regularization(params, wd)
-            return total, (model_loss, aux, mutated.get("batch_stats", {}))
+            # L2 weight decay lives in the optimizer chain
+            # (optim.make_optimizer); the reported total adds the L2 value
+            # outside the scan, once per dispatch.
+            return model_loss, (model_loss, aux, mutated.get("batch_stats", {}))
 
         (total, (model_loss, aux, new_bs)), grads = jax.value_and_grad(
             loss_of, has_aux=True
@@ -204,6 +209,10 @@ def _make_step_core(model, tx, cfg: Config):
 
         grads = jax.lax.pmean(grads, DATA_AXIS)
         total = jax.lax.pmean(total, DATA_AXIS)
+        if include_l2_metric:
+            total = total + optim.l2_regularization(
+                state.params, cfg.model.weight_decay
+            )
         model_loss = jax.lax.pmean(model_loss, DATA_AXIS)
         new_bs = jax.lax.pmean(new_bs, DATA_AXIS) if new_bs else new_bs
 
@@ -265,7 +274,7 @@ def make_multi_train_step(model, tx, cfg: Config, mesh: Mesh,
     Amortizes host dispatch + transfer across S steps — the difference
     between ~220 and >2000 images/sec/chip through the tunneled runtime.
     """
-    step_shard = _make_step_core(model, tx, cfg)
+    step_shard = _make_step_core(model, tx, cfg, include_l2_metric=False)
 
     keys = tuple(BATCH_KEYS) + tuple(extra_keys)
 
@@ -278,6 +287,11 @@ def make_multi_train_step(model, tx, cfg: Config, mesh: Mesh,
 
         state, ms = jax.lax.scan(body, state, idx)
         last = jax.tree_util.tree_map(lambda x: x[-1], ms)
+        # L2 value once per dispatch (reporting-only; the decay itself is
+        # applied in the optimizer chain every step)
+        last["total_loss"] = last["total_loss"] + optim.l2_regularization(
+            state.params, cfg.model.weight_decay
+        )
         return state, last
 
     rep = P()
