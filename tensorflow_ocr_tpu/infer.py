@@ -92,6 +92,76 @@ class Predictor:
             self._fwd_cache[shape] = run
         return self._fwd_cache[shape]
 
+    def _batch_fwd(self, shape: Tuple[int, int, int]):
+        key = ("batch",) + shape
+        if key not in self._fwd_cache:
+            icfg = self.cfg.infer
+
+            if self.is_east:
+                @jax.jit
+                def run(variables, images):
+                    out = self.model.apply(variables, images)
+
+                    def one(score, geo):
+                        return D.east_detect(
+                            score[:, :, 0], geo,
+                            score_thresh=icfg.score_map_thresh,
+                        )
+                    return jax.vmap(one)(out["score"], out["geometry"])
+            else:
+                @jax.jit
+                def run(variables, images):
+                    out = self.model.apply(variables, images)
+
+                    def one(pl, ll):
+                        ps = pixel_scores_from_logits(pl)
+                        ls = link_scores_from_logits(ll)
+                        return D.pixellink_decode(
+                            ps, ls,
+                            pixel_thresh=icfg.pixel_conf_threshold,
+                            link_thresh=icfg.link_conf_threshold,
+                            min_size=icfg.min_component_size,
+                            max_components=icfg.max_components,
+                        )
+                    return jax.vmap(one)(
+                        out["pixel_logits"], out["link_logits"]
+                    )
+            self._fwd_cache[key] = run
+        return self._fwd_cache[key]
+
+    def detect_batch(self, images_rgb: np.ndarray
+                     ) -> List[List[np.ndarray]]:
+        """Batched detection on same-sized images (serving path).
+
+        images_rgb: (B, H, W, 3) with H, W multiples of 32. One fused
+        forward + vmapped decode per batch amortizes the dispatch
+        round-trip that dominates single-image latency on remote runtimes.
+        Returns per-image box lists in input coordinates.
+        """
+        icfg = self.cfg.infer
+        # keep uint8 on the wire; the model casts on device (4x less
+        # host->device traffic, which dominates batch latency)
+        x = jnp.asarray(images_rgb)
+        run = self._batch_fwd(tuple(images_rgb.shape[1:]))
+        if self.is_east:
+            quads, scores, valid = map(np.asarray, run(self.variables, x))
+            results = []
+            for b in range(len(images_rgb)):
+                polys = np.concatenate(
+                    [quads[b].reshape(-1, 8), scores[b][:, None]], axis=1
+                )[valid[b]]
+                kept = N.locality_aware_nms(polys, icfg.nms_thresh)
+                results.append(
+                    [k[:8].reshape(4, 2) for k in kept
+                     if k[8] > icfg.box_thresh]
+                )
+            return results
+        raw_boxes, sizes, valid = map(np.asarray, run(self.variables, x))
+        return [
+            [b * 4.0 for b in raw_boxes[i][valid[i]]]
+            for i in range(len(images_rgb))
+        ]
+
     def detect(self, im_rgb: np.ndarray) -> Tuple[List[np.ndarray], float]:
         """Detect text boxes in one RGB image. Returns (boxes, net_ms).
 
@@ -102,7 +172,7 @@ class Predictor:
         im_resized, (ratio_h, ratio_w) = resize_image(
             im_rgb, icfg.max_side_len
         )
-        x = jnp.asarray(im_resized[None].astype(np.float32))
+        x = jnp.asarray(im_resized[None])  # uint8 on the wire
         run = self._fwd(im_resized.shape[:2])
         if self.is_east:
             quads, scores, valid = run(self.variables, x)
