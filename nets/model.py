@@ -61,13 +61,14 @@ def get_pos_and_neg_masks(labels):
 
 
 def OHNM_single_image(scores, n_pos, neg_mask, max_neg_pos_ratio=3):
-    """Reference model.py:161-184 semantics (see ops.losses.ohnm_mask)."""
-    pos_dummy = jnp.zeros_like(neg_mask)
-    # ohnm_mask derives n_pos from pos_mask; emulate with a mask of n_pos bits
+    """Reference model.py:161-184 semantics (see ops.losses.ohnm_mask).
+
+    ohnm_mask derives n_pos from a positive mask; synthesize one with
+    exactly n_pos set bits (positions are irrelevant — only the count is
+    used)."""
     idx = jnp.arange(neg_mask.shape[0])
     pos_dummy = idx < n_pos
-    return _losses.ohnm_mask(scores, pos_dummy & ~neg_mask, neg_mask,
-                             max_neg_pos_ratio)
+    return _losses.ohnm_mask(scores, pos_dummy, neg_mask, max_neg_pos_ratio)
 
 
 def OHNM_batch(batch_size, neg_conf, pos_mask, neg_mask):
