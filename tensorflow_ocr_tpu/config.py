@@ -99,6 +99,9 @@ class TrainConfig:
     # (the reference's default) and the dataset to fit in HBM.
     use_device_cache: bool = False
     scan_steps: int = 16
+    # run the validation eval hook every N steps (0 = off); needs
+    # eval.gt_path set to a directory of images + gt_*.txt
+    eval_every_steps: int = 0
 
 
 @dataclass

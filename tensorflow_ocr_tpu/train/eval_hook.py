@@ -1,0 +1,111 @@
+"""Eval-during-training: periodic detection P/R/F on a validation set.
+
+The reference shipped eval machinery but never wired it to training
+(SURVEY.md §6). This hook stages a small validation set once, then scores
+the CURRENT EMA weights with the same on-device forward+decode used at
+inference, logging P/R/F to the summary writer.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tensorflow_ocr_tpu.config import Config
+from tensorflow_ocr_tpu.data import icdar
+from tensorflow_ocr_tpu.eval.metrics import StreamingPRF
+from tensorflow_ocr_tpu.infer import (
+    link_scores_from_logits,
+    pixel_scores_from_logits,
+)
+from tensorflow_ocr_tpu.ops import decode as D
+from tensorflow_ocr_tpu.utils import nms as N
+
+
+class EvalDuringTraining:
+    def __init__(self, cfg: Config, val_dir: str, max_images: int = 16):
+        self.cfg = cfg
+        self.is_east = cfg.model.name.startswith("east")
+        size = cfg.data.input_size
+        self.images = []
+        self.gts = []
+        for fn in icdar.get_images(val_dir)[:max_images]:
+            import cv2
+
+            im = cv2.imread(fn)
+            if im is None:
+                continue
+            h, w = im.shape[:2]
+            gt, ignored = icdar.load_annotation(icdar.gt_path_for_image(fn))
+            if gt.shape[0] == 0:
+                continue
+            scale = np.array([size / w, size / h], np.float32)
+            self.images.append(
+                cv2.resize(im, (size, size))[:, :, ::-1].copy()
+            )
+            self.gts.append((gt * scale, ignored))
+        self.images = np.stack(self.images) if self.images else None
+        self._run = None
+
+    def _build(self, model):
+        icfg = self.cfg.infer
+
+        if self.is_east:
+            @jax.jit
+            def run(variables, images):
+                out = model.apply(variables, images)
+
+                def one(score, geo):
+                    return D.east_detect(score[:, :, 0], geo,
+                                         score_thresh=icfg.score_map_thresh)
+                return jax.vmap(one)(out["score"], out["geometry"])
+        else:
+            @jax.jit
+            def run(variables, images):
+                out = model.apply(variables, images)
+
+                def one(pl, ll):
+                    ps = pixel_scores_from_logits(pl)
+                    ls = link_scores_from_logits(ll)
+                    return D.pixellink_decode(
+                        ps, ls,
+                        pixel_thresh=icfg.pixel_conf_threshold,
+                        link_thresh=icfg.link_conf_threshold,
+                        min_size=icfg.min_component_size,
+                        max_components=icfg.max_components,
+                    )
+                return jax.vmap(one)(out["pixel_logits"], out["link_logits"])
+        return run
+
+    def __call__(self, model, state, use_ema: bool = True) -> Dict[str, float]:
+        if self.images is None:
+            return {}
+        if self._run is None:
+            self._run = self._build(model)
+        params = state.ema_params if use_ema else state.params
+        variables = {"params": params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        x = jnp.asarray(self.images)
+        prf = StreamingPRF(self.cfg.eval.matching_iou_threshold)
+        if self.is_east:
+            quads, scores, valid = map(np.asarray, self._run(variables, x))
+            for b, (gt, ignored) in enumerate(self.gts):
+                polys = np.concatenate(
+                    [quads[b].reshape(-1, 8), scores[b][:, None]], 1
+                )[valid[b]]
+                kept = N.locality_aware_nms(polys, self.cfg.infer.nms_thresh)
+                boxes = np.array(
+                    [k[:8].reshape(4, 2) for k in kept]
+                ).reshape(-1, 4, 2)
+                prf.update(boxes, np.ones(len(boxes)), gt, ignored)
+        else:
+            raw, sizes, valid = map(np.asarray, self._run(variables, x))
+            for b, (gt, ignored) in enumerate(self.gts):
+                boxes = raw[b][valid[b]] * 4.0
+                prf.update(boxes, np.ones(len(boxes)), gt, ignored)
+        return prf.result()

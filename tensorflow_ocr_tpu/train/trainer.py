@@ -413,6 +413,11 @@ class Trainer:
         self.tx = None
         self._step_fn = None
         self._preempted = False
+        self.eval_hook = None
+        if cfg.train.eval_every_steps and cfg.eval.gt_path:
+            from tensorflow_ocr_tpu.train.eval_hook import EvalDuringTraining
+
+            self.eval_hook = EvalDuringTraining(cfg, cfg.eval.gt_path)
         if install_signal_handler:
             self.install_preemption_handler()
 
@@ -568,6 +573,19 @@ class Trainer:
             if (cfg.train.save_checkpoint_steps
                     and step % max(cfg.train.save_checkpoint_steps, s) == 0):
                 save_checkpoint(cfg.train.checkpoint_path, self.state)
+            if (self.eval_hook is not None and cfg.train.eval_every_steps
+                    and step % max(cfg.train.eval_every_steps, s) == 0):
+                r = self.eval_hook(self.model, self.state)
+                if r:
+                    print(
+                        f"eval @ step {step}: P {r['precision']:.3f} "
+                        f"R {r['recall']:.3f} F {r['fmean']:.3f}"
+                    )
+                    if self.summary_writer is not None:
+                        for k in ("precision", "recall", "fmean"):
+                            self.summary_writer.add_scalar(
+                                f"val/{k}", r[k], step
+                            )
             if self._maybe_handle_preemption():
                 break
         return last
