@@ -57,6 +57,11 @@ class ModelConfig:
     bn_epsilon: float = 1e-5
     # bf16 activations/weights on the matmul path; f32 params + BN stats.
     compute_dtype: str = "bfloat16"
+    # Freeze BN statistics during training (use running stats; no batch
+    # reductions). Standard for detection fine-tuning from pretrained
+    # backbones, and a large throughput win: BN stat/grad reductions are
+    # the profiled majority of the train step (DESIGN.md).
+    freeze_bn: bool = False
 
 
 @dataclass
@@ -163,6 +168,18 @@ def _set_by_path(cfg: Config, dotted: str, raw: str) -> None:
         value = float(raw)
     elif isinstance(current, (tuple, list)):
         value = tuple(float(x) for x in raw.split(","))
+    elif current is None:
+        # Optional fields: best-effort numeric coercion
+        if raw.lower() in ("none", "null"):
+            value = None
+        else:
+            try:
+                value = int(raw)
+            except ValueError:
+                try:
+                    value = float(raw)
+                except ValueError:
+                    value = raw
     else:
         value = raw
     setattr(obj, name, value)

@@ -187,16 +187,23 @@ def _make_step_core(model, tx, cfg: Config, include_l2_metric: bool = True):
     multi-step builder sets False and adds it once per dispatch instead).
     """
     loss_fn = make_loss_fn(cfg)
+    freeze_bn = cfg.model.freeze_bn
 
     def step_shard(state: TrainState, batch: Dict[str, jnp.ndarray]):
         def loss_of(params):
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-            out, mutated = model.apply(
-                variables, batch["images"], train=True,
-                mutable=["batch_stats"],
-            )
+            if freeze_bn:
+                # train=False only switches BatchNorm to running stats
+                # (no dropout in these models) — batch reductions vanish.
+                out = model.apply(variables, batch["images"], train=False)
+                mutated = {}
+            else:
+                out, mutated = model.apply(
+                    variables, batch["images"], train=True,
+                    mutable=["batch_stats"],
+                )
             model_loss, aux = loss_fn(out, batch)
             # L2 weight decay lives in the optimizer chain
             # (optim.make_optimizer); the reported total adds the L2 value
@@ -225,7 +232,7 @@ def _make_step_core(model, tx, cfg: Config, include_l2_metric: bool = True):
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
-            batch_stats=new_bs,
+            batch_stats=new_bs if new_bs else state.batch_stats,
             opt_state=new_opt,
             ema_params=new_ema,
         )
