@@ -61,6 +61,9 @@ class Predictor:
         # every detect() (measured as 2-4 s/image through the tunnel).
         self.variables = jax.device_put(variables)
         self.is_east = cfg.model.name.startswith("east")
+        # pixellink boxes come out at the model's map stride (4, or 2 for
+        # the 2s variant)
+        self.stride = float(getattr(self.model, "output_stride", 4))
         self._fwd_cache: Dict[Tuple[int, int], callable] = {}
 
     def _fwd(self, shape: Tuple[int, int]):
@@ -158,7 +161,7 @@ class Predictor:
             return results
         raw_boxes, sizes, valid = map(np.asarray, run(self.variables, x))
         return [
-            [b * 4.0 for b in raw_boxes[i][valid[i]]]
+            [b * self.stride for b in raw_boxes[i][valid[i]]]
             for i in range(len(images_rgb))
         ]
 
@@ -185,7 +188,7 @@ class Predictor:
         else:
             raw_boxes, sizes, valid = run(self.variables, x)
             raw_boxes, valid = np.asarray(raw_boxes), np.asarray(valid)
-            boxes = [b * 4.0 for b in raw_boxes[valid]]  # stride scaling
+            boxes = [b * self.stride for b in raw_boxes[valid]]
         net_ms = (time.time() - t0) * 1000
         out = []
         for b in boxes:

@@ -105,6 +105,11 @@ MODEL_REGISTRY = {
 }
 
 
+def model_output_stride(name: str) -> int:
+    """Output-map stride of a registry model (2 for the 2s variant)."""
+    return MODEL_REGISTRY[name].get("output_stride", 4)
+
+
 def build_model(name: str, text_scale: int = 512,
                 dtype: Any = jnp.bfloat16) -> Detector:
     if name not in MODEL_REGISTRY:

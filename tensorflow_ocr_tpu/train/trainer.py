@@ -87,7 +87,9 @@ def _pixellink_link_probs(link_logits):
 def make_loss_fn(cfg: Config) -> Callable:
     """Returns loss(outputs, batch) -> (total, aux) for the configured
     model family + loss."""
-    stride = 2 if "2s" in cfg.model.name else 4
+    from tensorflow_ocr_tpu.models.detector import model_output_stride
+
+    stride = model_output_stride(cfg.model.name)
     out_hw = cfg.data.input_size // stride
     min_ts = cfg.data.min_text_size
     lcfg = cfg.loss
@@ -538,8 +540,11 @@ class Trainer:
                     or cfg.data.use_random_scale), (
             "device-cached loop requires augmentation off; use run() instead"
         )
+        from tensorflow_ocr_tpu.models.detector import model_output_stride
+
         ds = DeviceDataset(cfg.data, want_east=self.want_east,
-                           precompute_labels=True)
+                           precompute_labels=True,
+                           label_stride=model_output_stride(cfg.model.name))
         if self.model is None:
             self.setup({k: v[:1] for k, v in ds.arrays().items()
                         if k in ("images", "polys", "tags", "valid")})
