@@ -51,7 +51,7 @@ class Predictor:
             model, state, _ = T.create_train_state(cfg, rng, dummy)
             ck = T.latest_checkpoint(cfg.infer.checkpoint_path)
             if ck:
-                state = T.restore_checkpoint(ck, state)
+                state = T.restore_checkpoint_for_inference(ck, state)
         params = state.ema_params if use_ema else state.params
         variables = {"params": params}
         if state.batch_stats:

@@ -382,6 +382,42 @@ def restore_checkpoint(path: str, template: TrainState) -> TrainState:
     return ckptr.restore(path, abstract)
 
 
+def restore_checkpoint_for_inference(path: str, template: TrainState) -> TrainState:
+    """Restore only what inference needs (params/EMA/BN stats/step).
+
+    Skips opt_state entirely, so checkpoints stay loadable across
+    optimizer changes (e.g. the adam -> chained-weight-decay migration).
+    """
+    import orbax.checkpoint as ocp
+
+    def abstract(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+            tree,
+        )
+
+    target = {
+        "step": abstract(template.step),
+        "params": abstract(template.params),
+        "batch_stats": abstract(template.batch_stats),
+        "ema_params": abstract(template.ema_params),
+    }
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(
+            path,
+            args=ocp.args.PyTreeRestore(
+                item=target,
+                partial_restore=True,
+            ),
+        )
+    return template.replace(
+        step=restored["step"],
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        ema_params=restored["ema_params"],
+    )
+
+
 def warm_start(params, pretrained_params):
     """Merge pretrained leaves whose path+shape match — the
     slim.assign_from_checkpoint_fn(ignore_missing_vars=True) semantics
