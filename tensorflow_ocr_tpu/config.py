@@ -85,8 +85,16 @@ class TrainConfig:
     lr_decay_rate: float = 0.94
     lr_decay_steps: int = 5000
     lr_staircase: bool = True
+    # Piecewise-constant staircase (reference train_pixellink.py:221-243
+    # tf.case table); when lr_breakpoints is non-empty it replaces the
+    # exponential schedule. lr_decays has len(lr_breakpoints)+1 factors.
+    lr_breakpoints: Sequence[int] = ()
+    lr_decays: Sequence[float] = ()
     optimizer: str = "adam"  # adam | momentum
     momentum: float = 0.9
+    # Gradient cross-replica reduction: 'mean' (multigpu_train.py:70-85) or
+    # 'sum' (train_pixellink.py sum_gradients :179-194).
+    grad_reduce: str = "mean"
     max_steps: int = 100_000
     moving_average_decay: float = 0.997  # reference multigpu_train.py:11
     checkpoint_path: str = "/tmp/east_resnet_v1_50_rbox/"

@@ -48,7 +48,14 @@ class Detector(nn.Module):
     dtype: Any = jnp.bfloat16
 
     def setup(self):
-        if self.backbone_name.startswith("resnet"):
+        if self.backbone_name.startswith("resnetv2_"):
+            from tensorflow_ocr_tpu.models.resnet_v2 import ResNetV2
+
+            depth = int(self.backbone_name[len("resnetv2_"):])
+            self.backbone = ResNetV2(units=RESNET_UNITS[depth], dtype=self.dtype)
+            keys = RESNET_KEYS
+            upsample_first = True
+        elif self.backbone_name.startswith("resnet"):
             depth = int(self.backbone_name[len("resnet"):])
             self.backbone = ResNetV1(units=RESNET_UNITS[depth], dtype=self.dtype)
             keys = RESNET_KEYS
@@ -102,6 +109,9 @@ MODEL_REGISTRY = {
     "east_resnet101": dict(backbone_name="resnet101", head_name="east"),
     "east_vgg16": dict(backbone_name="vgg16", head_name="east"),
     "link8_resnet50": dict(backbone_name="resnet50", head_name="link8"),
+    "pixellink_resnetv2_50": dict(backbone_name="resnetv2_50",
+                                  head_name="pixellink"),
+    "east_resnetv2_50": dict(backbone_name="resnetv2_50", head_name="east"),
 }
 
 

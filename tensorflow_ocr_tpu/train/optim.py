@@ -65,10 +65,16 @@ def make_optimizer(cfg: TrainConfig,
     wd/2*sum(w^2) to the loss — but avoids materializing ~100 per-kernel
     scalar reductions every step (measured ~15 ms/step at 512px batch 32).
     """
-    sched = exponential_staircase(
-        cfg.learning_rate, cfg.lr_decay_steps, cfg.lr_decay_rate,
-        cfg.lr_staircase,
-    )
+    if getattr(cfg, "lr_breakpoints", ()):
+        sched = piecewise_staircase(
+            cfg.learning_rate, cfg.lr_breakpoints,
+            list(cfg.lr_decays) or [1.0] * (len(cfg.lr_breakpoints) + 1),
+        )
+    else:
+        sched = exponential_staircase(
+            cfg.learning_rate, cfg.lr_decay_steps, cfg.lr_decay_rate,
+            cfg.lr_staircase,
+        )
     parts = []
     if weight_decay:
         parts.append(optax.add_decayed_weights(weight_decay, mask=kernel_mask))

@@ -216,7 +216,11 @@ def _make_step_core(model, tx, cfg: Config, include_l2_metric: bool = True):
             loss_of, has_aux=True
         )(state.params)
 
-        grads = jax.lax.pmean(grads, DATA_AXIS)
+        if cfg.train.grad_reduce == "sum":
+            # train_pixellink.py:179-194 sum_gradients semantics
+            grads = jax.lax.psum(grads, DATA_AXIS)
+        else:
+            grads = jax.lax.pmean(grads, DATA_AXIS)
         total = jax.lax.pmean(total, DATA_AXIS)
         if include_l2_metric:
             total = total + optim.l2_regularization(
@@ -418,15 +422,21 @@ def restore_checkpoint_for_inference(path: str, template: TrainState) -> TrainSt
     )
 
 
-def warm_start(params, pretrained_params):
+def warm_start(params, pretrained_params, exclude_scopes=()):
     """Merge pretrained leaves whose path+shape match — the
     slim.assign_from_checkpoint_fn(ignore_missing_vars=True) semantics
-    (multigpu_train.py:149-151)."""
+    (multigpu_train.py:149-151). ``exclude_scopes`` skips subtrees by
+    top-level module name, like train_pixellink.py:301-354's
+    checkpoint_exclude_scopes (e.g. the 'pixellink_layers' heads)."""
     flat = jax.tree_util.tree_flatten_with_path(params)
     flat_pre = dict(jax.tree_util.tree_flatten_with_path(pretrained_params)[0])
     out = []
     n_loaded = 0
     for path, leaf in flat[0]:
+        names = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+        if any(s in names for s in exclude_scopes):
+            out.append(leaf)
+            continue
         pre = flat_pre.get(path)
         if pre is not None and jnp.shape(pre) == jnp.shape(leaf):
             out.append(jnp.asarray(pre, leaf.dtype))

@@ -36,6 +36,12 @@ class SummaryWriter:
         for k, v in metrics.items():
             self.add_scalar(k, v, step)
 
+    def add_histogram(self, tag: str, values, step: int):
+        """Grad/score histograms (reference nets/pixellink.py:84-85,
+        train_pixellink.py:190-193)."""
+        if self._writer is not None:
+            self._writer.add_histogram(tag, np.asarray(values), step)
+
     def add_image_hwc(self, tag: str, img: np.ndarray, step: int):
         """img: (H, W, C) uint8/float in [0,255] or [0,1]."""
         if self._writer is None:
