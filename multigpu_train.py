@@ -24,7 +24,20 @@ def main(argv):
     from tensorflow_ocr_tpu.parallel.mesh import make_mesh
     from tensorflow_ocr_tpu.train.trainer import Trainer, save_checkpoint
 
-    cfg = parse_flags(argv, Config())
+    argv = list(argv)
+    cfg = Config()
+    # --preset=N loads a BASELINE.json benchmark configuration first
+    for a in list(argv):
+        if a.startswith("--preset"):
+            from tensorflow_ocr_tpu.configs import baseline_config
+
+            n = int(a.split("=", 1)[1]) if "=" in a else int(
+                argv[argv.index(a) + 1]
+            )
+            cfg = baseline_config(n)
+            argv.remove(a)
+            break
+    cfg = parse_flags(argv, cfg)
     mesh = make_mesh(cfg.train.num_devices)
     n_dev = mesh.devices.size
     # reference semantics: global batch = batch_size_per_gpu * n_devices

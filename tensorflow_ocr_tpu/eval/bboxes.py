@@ -27,29 +27,54 @@ def bboxes_jaccard(quad: np.ndarray, quads: np.ndarray) -> np.ndarray:
     return np.array([quad_iou(quad, q) for q in quads], np.float32)
 
 
+def _intersection_over_det(det: np.ndarray, gt: np.ndarray) -> float:
+    """Intersection area / detection area (the ICDAR don't-care measure)."""
+    import cv2
+
+    det = det.astype(np.float32)
+    inter, _ = cv2.intersectConvexConvex(det, gt.astype(np.float32))
+    x, y = det[:, 0], det[:, 1]
+    area = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    return float(inter / area) if area > 0 else 0.0
+
+
 def bboxes_matching(
     det_quads: np.ndarray,      # (N, 4, 2), any order
     det_scores: np.ndarray,     # (N,)
     gt_quads: np.ndarray,       # (M, 4, 2)
     gt_ignored: np.ndarray,     # (M,) bool
     matching_threshold: float = 0.5,
+    icdar_dontcare: bool = True,
 ) -> Tuple[int, np.ndarray, np.ndarray]:
     """Greedy match in descending score order.
 
     Returns (n_gt_not_ignored, tp (N,), fp (N,)) — per-detection arrays in
     the ORIGINAL detection order, like the reference's gather-back at
     bboxes.py:236-244.
+
+    icdar_dontcare: use the official ICDAR-2015 don't-care rule — a
+    detection whose intersection-over-own-area with any ignored GT exceeds
+    0.5 is excluded entirely (neither TP nor FP). With False, the
+    reference's simpler IoU-match rule applies instead.
     """
     n = len(det_quads)
     m = len(gt_quads)
     tp = np.zeros(n, bool)
     fp = np.zeros(n, bool)
     gt_match = np.zeros(m, bool)
-    n_gt = int((~np.asarray(gt_ignored, bool)).sum()) if m else 0
+    gt_ignored = np.asarray(gt_ignored, bool)
+    n_gt = int((~gt_ignored).sum()) if m else 0
     if n == 0:
         return n_gt, tp, fp
+    dontcare = gt_quads[gt_ignored] if (m and icdar_dontcare) else []
     order = np.argsort(-np.asarray(det_scores))
     for i in order:
+        if len(dontcare):
+            ioa = max(
+                _intersection_over_det(det_quads[i], dc) for dc in dontcare
+            )
+            if ioa > 0.5:
+                continue  # excluded: neither TP nor FP
         if m == 0:
             fp[i] = True
             continue

@@ -58,6 +58,23 @@ def test_matching_duplicate_detection_is_fp():
     assert tp.sum() == 1 and fp.sum() == 1
 
 
+def test_icdar_dontcare_excludes_partial_overlap():
+    """Official rule: a detection covering an ignored GT with >50% of its
+    OWN area is excluded even if IoU with the GT is below threshold."""
+    gt = _quad(0, 0, 100, 100)[None]  # large ignored region
+    det = _quad(10, 10, 10, 10)[None]  # small det fully inside
+    n_gt, tp, fp = bboxes_matching(
+        det, np.array([0.9]), gt, np.array([True])
+    )
+    assert n_gt == 0 and tp.sum() == 0 and fp.sum() == 0  # excluded
+
+    # with the rule off, the small det is a plain FP (IoU tiny)
+    n_gt, tp, fp = bboxes_matching(
+        det, np.array([0.9]), gt, np.array([True]), icdar_dontcare=False
+    )
+    assert fp.sum() == 1
+
+
 def test_matching_ignored_gt_neither_tp_nor_fp():
     gt = _quad(0, 0, 20, 10)[None]
     det = _quad(0, 0, 20, 10)[None]
