@@ -112,6 +112,11 @@ MODEL_REGISTRY = {
     "pixellink_resnetv2_50": dict(backbone_name="resnetv2_50",
                                   head_name="pixellink"),
     "east_resnetv2_50": dict(backbone_name="resnetv2_50", head_name="east"),
+    # deeper ResNet-v1 variants (reference resnet_v1.py:293-344)
+    "pixellink_resnet152": dict(backbone_name="resnet152", head_name="pixellink"),
+    "east_resnet152": dict(backbone_name="resnet152", head_name="east"),
+    "pixellink_resnet200": dict(backbone_name="resnet200", head_name="pixellink"),
+    "east_resnet200": dict(backbone_name="resnet200", head_name="east"),
 }
 
 

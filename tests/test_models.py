@@ -83,6 +83,14 @@ def test_link8_outputs(img64):
     assert out["link_probs"].shape == (1, 16, 16, 8)
 
 
+def test_registry_all_names_construct():
+    from tensorflow_ocr_tpu.models import MODEL_REGISTRY
+
+    for name in MODEL_REGISTRY:
+        m = build_model(name)  # construction only; no weight init
+        assert m is not None
+
+
 def test_batchnorm_updates_in_train_mode(img64):
     model = build_model("pixellink_vgg16")
     rngs = jax.random.PRNGKey(0)
