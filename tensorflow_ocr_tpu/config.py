@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Any, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 
 @dataclass
@@ -115,6 +115,11 @@ class TrainConfig:
     # run the validation eval hook every N steps (0 = off); needs
     # eval.gt_path set to a directory of images + gt_*.txt
     eval_every_steps: int = 0
+    # Per-jit XLA backend options for the train step (merged with the
+    # OCR_XLA_OPTS env, comma-separated k=v). The tunneled TPU client
+    # rejects TPU flags in XLA_FLAGS, so flag tuning flows through
+    # jit(compiler_options=...) instead.
+    xla_options: Optional[Dict[str, str]] = None
 
 
 @dataclass

@@ -16,6 +16,13 @@ from flax import linen as nn
 # ImageNet channel means, reference nets/model.py:18 (RGB order).
 IMAGENET_MEANS = (123.68, 116.78, 103.94)
 
+# Route 1x1 convs through dot_general (PointwiseConv) instead of nn.Conv.
+# Measured on v5e @512x512 b32: the dot path makes the matmuls themselves
+# faster but XLA inserts ~9.5 ms/step of layout copies at every conv<->dot
+# boundary (conv layouts are {3,0,2,1}-tiled, dots want row-major), a net
+# -8% step time. Kept as an experiment toggle; default off.
+POINTWISE_DOT = False
+
 
 def mean_image_subtraction(images: jnp.ndarray,
                            means: Sequence[float] = IMAGENET_MEANS) -> jnp.ndarray:
@@ -34,6 +41,47 @@ def unpool(x: jnp.ndarray) -> jnp.ndarray:
     """
     b, h, w, c = x.shape
     return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="bilinear")
+
+
+class PointwiseConv(nn.Module):
+    """1x1 convolution expressed as a dot_general.
+
+    XLA's TPU convolution emitters tile 1x1 convs spatially
+    (EmitAllBatchInSublanes), which profiles at 10-30x off the matmul
+    roofline for the backward pass (dW is a plain [C_in, N*H*W] x
+    [N*H*W, C_out] contraction). Lowering to dot_general routes both
+    forward and backward through the MXU matmul path. Parameters keep
+    nn.Conv's exact name and shape ((1, 1, C_in, C_out) 'kernel') so
+    checkpoints and the slim importer are unaffected.
+    """
+
+    features: int
+    strides: Tuple[int, int] = (1, 1)
+    use_bias: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, cin, self.features),
+            jnp.float32,
+        )
+        if self.strides != (1, 1):
+            x = x[:, :: self.strides[0], :: self.strides[1], :]
+        y = jax.lax.dot_general(
+            x.astype(self.dtype),
+            kernel[0, 0].astype(self.dtype),
+            dimension_numbers=(((3,), (0,)), ((), ())),
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias.astype(self.dtype)
+        return y
 
 
 class ConvBN(nn.Module):
@@ -60,23 +108,33 @@ class ConvBN(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         kh, kw = self.kernel
-        padding: Any = "SAME"
-        if self.explicit_pad and (self.strides[0] > 1 or self.strides[1] > 1):
-            # resnet_utils.conv2d_same (reference nets/resnet_utils.py:77-123):
-            # fixed (k-1)//2 / k//2 padding + VALID, stride-independent.
-            pad_beg = ((kh - 1) // 2, (kw - 1) // 2)
-            pad_end = (kh // 2, kw // 2)
-            padding = ((pad_beg[0], pad_end[0]), (pad_beg[1], pad_end[1]))
-        x = nn.Conv(
-            self.features,
-            self.kernel,
-            strides=self.strides,
-            padding=padding,
-            kernel_dilation=self.dilation,
-            use_bias=not self.use_bn,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
+        if POINTWISE_DOT and (kh, kw) == (1, 1) and self.dilation == (1, 1):
+            # dot_general path: the TPU conv emitters are far off the matmul
+            # roofline for pointwise convs (see PointwiseConv). Param tree
+            # path stays 'Conv_0/kernel' with the conv kernel shape.
+            x = PointwiseConv(
+                self.features, strides=self.strides,
+                use_bias=not self.use_bn, dtype=self.dtype, name="Conv_0",
+            )(x)
+        else:
+            padding: Any = "SAME"
+            if self.explicit_pad and (self.strides[0] > 1 or self.strides[1] > 1):
+                # resnet_utils.conv2d_same (reference nets/resnet_utils.py:
+                # 77-123): fixed (k-1)//2 / k//2 padding + VALID,
+                # stride-independent.
+                pad_beg = ((kh - 1) // 2, (kw - 1) // 2)
+                pad_end = (kh // 2, kw // 2)
+                padding = ((pad_beg[0], pad_end[0]), (pad_beg[1], pad_end[1]))
+            x = nn.Conv(
+                self.features,
+                self.kernel,
+                strides=self.strides,
+                padding=padding,
+                kernel_dilation=self.dilation,
+                use_bias=not self.use_bn,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )(x)
         if self.use_bn:
             x = nn.BatchNorm(
                 use_running_average=not train,

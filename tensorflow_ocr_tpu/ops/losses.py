@@ -150,11 +150,17 @@ def ohem_pixel_link_loss(
     link_loss = jnp.sum(link_pos + link_neg)
 
     total = link_loss + pixel_loss_weight * pixel_loss
-    return total, {
+    aux = {
         "pixel_loss": pixel_loss,
         "link_loss": link_loss,
         "n_pos": n_pos,
     }
+    # Per-direction link-loss scalars (reference nets/model.py:258-259
+    # emits one summary per direction).
+    per_dir = link_pos + link_neg  # (8,)
+    for d in range(8):
+        aux[f"link_loss/dir{d}"] = per_dir[d]
+    return total, aux
 
 
 def dice_pixel_link_loss(

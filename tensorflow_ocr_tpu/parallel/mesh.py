@@ -24,6 +24,12 @@ def make_mesh(num_devices: Optional[int] = None,
               devices: Optional[list] = None) -> Mesh:
     devs = devices if devices is not None else jax.devices()
     if num_devices is not None:
+        if len(devs) < num_devices:
+            raise ValueError(
+                f"requested a {num_devices}-device mesh but only "
+                f"{len(devs)} devices are visible; refusing to silently "
+                f"run at reduced scale (set num_devices=None for all)"
+            )
         devs = devs[:num_devices]
     return Mesh(np.asarray(devs), (DATA_AXIS,))
 

@@ -105,7 +105,10 @@ class EvalDuringTraining:
                 prf.update(boxes, np.ones(len(boxes)), gt, ignored)
         else:
             raw, sizes, valid = map(np.asarray, self._run(variables, x))
+            from tensorflow_ocr_tpu.models.detector import model_output_stride
+
+            stride = float(model_output_stride(self.cfg.model.name))
             for b, (gt, ignored) in enumerate(self.gts):
-                boxes = raw[b][valid[b]] * 4.0
+                boxes = raw[b][valid[b]] * stride
                 prf.update(boxes, np.ones(len(boxes)), gt, ignored)
         return prf.result()

@@ -57,7 +57,7 @@ def slim_to_flax_key(name: str) -> Tuple[Tuple[str, ...], str] | None:
         parts = rest.split("/")
         if parts[-1] == "weights":
             return ("backbone", *parts[:-1], "Conv_0", "kernel"), "params"
-        if parts[-2] == "BatchNorm" and parts[-1] in bn_map:
+        if len(parts) >= 2 and parts[-2] == "BatchNorm" and parts[-1] in bn_map:
             leaf, coll = bn_map[parts[-1]]
             return ("backbone", *parts[:-2], "BatchNorm_0", leaf), coll
         return None

@@ -250,6 +250,20 @@ def _make_step_core(model, tx, cfg: Config, include_l2_metric: bool = True):
     return step_shard
 
 
+def _compiler_options(cfg: Config) -> Optional[Dict[str, str]]:
+    """XLA backend options for the train step (cfg.train.xla_options plus
+    the OCR_XLA_OPTS env, comma-separated k=v pairs). Passed per-jit via
+    compiler_options — the tunneled TPU client rejects TPU flags in
+    XLA_FLAGS, so this is the only working channel."""
+    opts: Dict[str, str] = dict(cfg.train.xla_options or {})
+    env = os.environ.get("OCR_XLA_OPTS", "")
+    for pair in env.split(","):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            opts[k.strip()] = v.strip()
+    return opts or None
+
+
 def make_train_step(model, tx, cfg: Config, mesh: Mesh):
     """Builds the jitted shard_map data-parallel train step.
 
@@ -272,7 +286,8 @@ def make_train_step(model, tx, cfg: Config, mesh: Mesh):
         check_vma=False,
     )
     donate = (0,) if cfg.train.donate_state else ()
-    return jax.jit(sharded, donate_argnums=donate)
+    return jax.jit(sharded, donate_argnums=donate,
+                   compiler_options=_compiler_options(cfg))
 
 
 def make_multi_train_step(model, tx, cfg: Config, mesh: Mesh,
@@ -317,7 +332,8 @@ def make_multi_train_step(model, tx, cfg: Config, mesh: Mesh,
         check_vma=False,
     )
     donate = (0,) if cfg.train.donate_state else ()
-    return jax.jit(sharded, donate_argnums=donate)
+    return jax.jit(sharded, donate_argnums=donate,
+                   compiler_options=_compiler_options(cfg))
 
 
 def device_batch(batch: Dict[str, np.ndarray], mesh: Mesh,
@@ -649,8 +665,8 @@ class Trainer:
         return last
 
     def _emit_image_summaries(self, batch, step: int):
-        """Reference's TB image panel (multigpu_train.py:50-63): input frame
-        + predicted text-score map for the first sample."""
+        """Reference's TB image panel (multigpu_train.py:50-63): input frame,
+        GT text-score map, and predicted score map for the first sample."""
         try:
             variables = {"params": self.state.params}
             bs = self.state.batch_stats
@@ -662,9 +678,32 @@ class Trainer:
                 pred = jax.nn.softmax(out["pixel_logits"], axis=-1)[..., 1:]
             else:
                 pred = out["score"]
+            gt_score = None
+            if "score" in batch:
+                gt_score = np.asarray(batch["score"][:1], np.float32)
+            elif "polys" in batch:
+                from tensorflow_ocr_tpu.models.detector import (
+                    model_output_stride,
+                )
+
+                stride = model_output_stride(self.cfg.model.name)
+                hw = img.shape[1] // stride
+                s, _, _ = jax.jit(
+                    partial(
+                        label_ops.pixellink_labels_stride,
+                        out_height=hw, out_width=hw, stride=stride,
+                        min_text_size=self.cfg.data.min_text_size,
+                    )
+                )(
+                    jnp.asarray(batch["polys"][0]),
+                    jnp.asarray(batch["tags"][0]),
+                    jnp.asarray(batch["valid"][0]),
+                )
+                gt_score = np.asarray(s, np.float32)[None, ..., None]
             self.summary_writer.add_detection_summaries(
                 step,
                 images=np.asarray(batch["images"][:1], np.float32),
+                gt_score=gt_score,
                 pred_score=np.asarray(pred),
             )
         except Exception:
