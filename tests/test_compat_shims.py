@@ -92,9 +92,41 @@ def test_tool_data_util_enqueuer():
 
     e = GeneratorEnqueuer(gen())
     e.start(workers=2, max_queue_size=4)
-    got = sorted(e.get() for _ in range(5))
+    got = sorted(e.get_one() for _ in range(5))
     assert got == [0, 1, 2, 3, 4]
     e.stop()
+
+
+def test_tool_data_util_enqueuer_factory_parallel():
+    """Factory form: each worker gets its own reseeded generator stream
+    (reference data_util.py:62-81 fork-per-worker semantics)."""
+    import threading
+
+    from tool.data_util import GeneratorEnqueuer
+
+    seen_seeds = []
+    lock = threading.Lock()
+
+    def factory():
+        import numpy as np
+
+        seed = int(np.random.randint(0, 1 << 30))
+        with lock:
+            seen_seeds.append(seed)
+
+        def gen():
+            while True:
+                yield seed
+
+        return gen()
+
+    e = GeneratorEnqueuer(factory, random_seed=7)
+    e.start(workers=3, max_queue_size=8)
+    vals = {e.get_one() for _ in range(12)}
+    e.stop()
+    # three independent streams with distinct derived seeds
+    assert len(seen_seeds) == 3 and len(set(seen_seeds)) == 3
+    assert vals <= set(seen_seeds)
 
 
 def test_tool_metrics_and_math():
@@ -118,3 +150,44 @@ def test_tool_bboxes():
     gys = np.array([[0, 0, 10, 10]], np.float32)
     iou = np_bboxes_jaccard(bbox, gxs, gys)
     assert iou[0] == pytest.approx(1.0)
+
+
+def test_tool_bboxes_resize_crop_frame():
+    """bboxes_resize expresses boxes relative to a crop window
+    (reference tool/bboxes.py:22-44): the window maps to [0,0,1,1]."""
+    from tool.bboxes import bboxes_resize
+
+    ref = np.array([0.25, 0.25, 0.75, 0.75], np.float32)  # ymin xmin ymax xmax
+    boxes = np.array([[0.25, 0.25, 0.75, 0.75],
+                      [0.5, 0.5, 0.75, 0.625]], np.float32)
+    xs = np.array([[0.25, 0.75, 0.75, 0.25]], np.float32)
+    ys = np.array([[0.25, 0.25, 0.75, 0.75]], np.float32)
+    out, oxs, oys = bboxes_resize(ref, boxes, xs, ys)
+    np.testing.assert_allclose(out[0], [0, 0, 1, 1], atol=1e-6)
+    np.testing.assert_allclose(out[1], [0.5, 0.5, 1.0, 0.75], atol=1e-6)
+    np.testing.assert_allclose(oxs[0], [0, 1, 1, 0], atol=1e-6)
+    np.testing.assert_allclose(oys[0], [0, 0, 1, 1], atol=1e-6)
+
+
+def test_tool_bboxes_intersection_and_filter():
+    """bboxes_intersection = area(box ∩ ref)/area(box); filter drops or
+    negates by threshold (reference tool/bboxes.py:69-128)."""
+    from tool.bboxes import bboxes_filter_overlap, bboxes_intersection
+
+    boxes = np.array([
+        [0.1, 0.1, 0.5, 0.5],     # fully inside -> 1.0
+        [-0.5, 0.0, 0.5, 1.0],    # half inside  -> 0.5
+        [1.5, 1.5, 2.0, 2.0],     # outside      -> 0.0
+        [0.2, 0.2, 0.2, 0.8],     # degenerate   -> 0.0 (safe divide)
+    ], np.float32)
+    scores = bboxes_intersection(np.array([0, 0, 1, 1], np.float32), boxes)
+    np.testing.assert_allclose(scores, [1.0, 0.5, 0.0, 0.0], atol=1e-6)
+
+    labels = np.array([1, 2, 3, 4])
+    xs = np.zeros((4, 4), np.float32)
+    ys = np.zeros((4, 4), np.float32)
+    l2, b2, x2, y2 = bboxes_filter_overlap(labels, boxes, xs, ys, 0.4)
+    assert list(l2) == [1, 2] and b2.shape == (2, 4)
+    l3, b3, _, _ = bboxes_filter_overlap(labels, boxes, xs, ys, 0.4,
+                                         assign_negative=True)
+    assert list(l3) == [1, 2, -3, -4] and b3.shape == (4, 4)

@@ -1,4 +1,13 @@
-"""Adapter for /root/reference/tool/bboxes.py public API."""
+"""Adapter for /root/reference/tool/bboxes.py public API.
+
+Matching/IoU delegate to the framework's eval machinery; the crop
+bookkeeping helpers (`bboxes_resize` / `bboxes_filter_overlap` /
+`bboxes_intersection`, reference tool/bboxes.py:22-128) are full-semantics
+numpy rebuilds of the TF originals. Reference conventions preserved:
+boxes are `[ymin, xmin, ymax, xmax]` in normalized coordinates, `xs`/`ys`
+carry the quad vertices (N, 4), and the reference frame after a crop is
+`[0, 0, 1, 1]`.
+"""
 
 from __future__ import annotations
 
@@ -17,24 +26,63 @@ def np_bboxes_jaccard(bbox, gxs, gys):
     return bboxes_jaccard(quad, quads)
 
 
-def bboxes_resize(bbox_ref, bboxes):
-    """Reference bboxes.py:22-55: shift boxes into bbox_ref's frame."""
-    bboxes = np.asarray(bboxes, np.float32).copy()
+def bboxes_resize(bbox_ref, bboxes, xs=None, ys=None):
+    """Express boxes relative to a crop window (reference bboxes.py:22-44).
+
+    bbox_ref: (4,) [ymin, xmin, ymax, xmax] crop window; after the
+    transform the window is [0, 0, 1, 1]. bboxes: (N, 4) same layout.
+    xs/ys: optional (N, 4) quad vertex coordinates, translated and scaled
+    by the window width/height respectively.
+
+    Returns bboxes or (bboxes, xs, ys) when vertices are given.
+    """
     ref = np.asarray(bbox_ref, np.float32)
-    bboxes[..., 0::2] -= ref[0]
-    bboxes[..., 1::2] -= ref[1]
-    return bboxes
+    bboxes = np.asarray(bboxes, np.float32).copy()
+    h_ref = ref[2] - ref[0]
+    w_ref = ref[3] - ref[1]
+    bboxes -= np.array([ref[0], ref[1], ref[0], ref[1]], np.float32)
+    bboxes /= np.array([h_ref, w_ref, h_ref, w_ref], np.float32)
+    if xs is None and ys is None:
+        return bboxes
+    xs = (np.asarray(xs, np.float32) - ref[1]) / w_ref
+    ys = (np.asarray(ys, np.float32) - ref[0]) / h_ref
+    return bboxes, xs, ys
 
 
-def bboxes_filter_overlap(labels, bboxes, xs, ys, gxs, gys, threshold=0.5):
-    """Reference bboxes.py:58-99 semantics: mark boxes with low overlap with
-    the [0,1] frame as ignored (label flip), clip coordinates."""
+def bboxes_intersection(bbox_ref, bboxes):
+    """Relative intersection: area(box ∩ ref) / area(box)
+    (reference bboxes.py:102-128). 0 where the box has no area."""
+    ref = np.asarray(bbox_ref, np.float32)
+    bboxes = np.asarray(bboxes, np.float32)
+    int_ymin = np.maximum(bboxes[:, 0], ref[0])
+    int_xmin = np.maximum(bboxes[:, 1], ref[1])
+    int_ymax = np.minimum(bboxes[:, 2], ref[2])
+    int_xmax = np.minimum(bboxes[:, 3], ref[3])
+    h = np.maximum(int_ymax - int_ymin, 0.0)
+    w = np.maximum(int_xmax - int_xmin, 0.0)
+    inter = h * w
+    vol = (bboxes[:, 2] - bboxes[:, 0]) * (bboxes[:, 3] - bboxes[:, 1])
+    return np.where(vol > 0, inter / np.where(vol > 0, vol, 1.0), 0.0)
+
+
+def bboxes_filter_overlap(labels, bboxes, xs, ys, threshold=0.5,
+                          assign_negative=False):
+    """Keep (or negate) boxes by relative overlap with the [0,0,1,1] frame
+    (reference bboxes.py:69-99).
+
+    assign_negative=False: drop rows with overlap <= threshold from every
+    array. assign_negative=True: keep all rows, flip the label sign of the
+    filtered ones (the SSD-style "ignore" convention).
+    """
     labels = np.asarray(labels).copy()
-    gxs = np.clip(np.asarray(gxs, np.float32), 0, 1)
-    gys = np.clip(np.asarray(gys, np.float32), 0, 1)
-    for i in range(len(labels)):
-        w = gxs[i].max() - gxs[i].min()
-        h = gys[i].max() - gys[i].min()
-        if w * h <= 0:
-            labels[i] = -1
-    return labels, bboxes, xs, ys, gxs, gys
+    bboxes = np.asarray(bboxes, np.float32)
+    xs = np.asarray(xs, np.float32)
+    ys = np.asarray(ys, np.float32)
+    scores = bboxes_intersection(
+        np.array([0, 0, 1, 1], np.float32), bboxes
+    )
+    mask = scores > threshold
+    if assign_negative:
+        labels = np.where(mask, labels, -labels)
+        return labels, bboxes, xs, ys
+    return labels[mask], bboxes[mask], xs[mask], ys[mask]

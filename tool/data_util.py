@@ -1,9 +1,20 @@
 """Adapter for /root/reference/tool/data_util.py: GeneratorEnqueuer.
 
-The reference forks one OS process per worker around a shared generator
-(data_util.py:15-129). This rebuild keeps the public API (start /
-is_running / stop / queue) with thread workers — cv2 and numpy release the
-GIL, and the heavy label math no longer runs on the host at all.
+The reference (data_util.py:15-129, a Keras fork) forks one OS process per
+worker, each with its OWN copy of the generator and a reseeded numpy RNG
+(random_seed + worker_index, data_util.py:69-77) — workers produce batches
+independently and in parallel.
+
+This rebuild keeps the public API (start / is_running / stop / queue / get)
+with thread workers (cv2 and numpy release the GIL; the heavy label math
+runs on device in this framework, so threads saturate the host side):
+
+- Pass a zero-arg GENERATOR FACTORY to get the reference's parallel
+  semantics: each worker builds its own generator, with numpy reseeded to
+  random_seed + worker_index first, exactly like the fork-per-worker
+  behavior of the reference's multiprocessing path.
+- Passing an already-constructed generator still works but serializes
+  workers behind a lock (generators are not thread-safe); prefer a factory.
 """
 
 from __future__ import annotations
@@ -12,12 +23,18 @@ import queue as _queue
 import threading
 import time
 
+import numpy as np
+
 
 class GeneratorEnqueuer:
     def __init__(self, generator, use_multiprocessing=False, wait_time=0.05,
                  random_seed=None):
-        self._generator = generator
+        # A callable is treated as a factory (one generator per worker).
+        self._factory = generator if callable(generator) else None
+        self._generator = None if self._factory else generator
+        self._lock = threading.Lock()
         self.wait_time = wait_time
+        self.random_seed = random_seed
         self.queue = None
         self._stop_event = None
         self._threads = []
@@ -25,13 +42,25 @@ class GeneratorEnqueuer:
     def start(self, workers=1, max_queue_size=10):
         self.queue = _queue.Queue(maxsize=max_queue_size)
         self._stop_event = threading.Event()
-        lock = threading.Lock()
 
-        def task():
+        def task(worker_index: int):
+            if self._factory is not None:
+                # per-worker stream: reseed then build an independent
+                # generator (reference data_util.py:69-77 semantics)
+                if self.random_seed is not None:
+                    np.random.seed(self.random_seed + worker_index)
+                gen = self._factory()
+                lock = None
+            else:
+                gen = self._generator
+                lock = self._lock
             while not self._stop_event.is_set():
                 try:
-                    with lock:  # generators are not thread-safe
-                        item = next(self._generator)
+                    if lock is None:
+                        item = next(gen)
+                    else:
+                        with lock:
+                            item = next(gen)
                     self.queue.put(item)
                 except StopIteration:
                     return
@@ -39,8 +68,8 @@ class GeneratorEnqueuer:
                     self._stop_event.set()
                     raise
 
-        for _ in range(workers):
-            t = threading.Thread(target=task, daemon=True)
+        for i in range(workers):
+            t = threading.Thread(target=task, args=(i,), daemon=True)
             t.start()
             self._threads.append(t)
 
@@ -58,7 +87,18 @@ class GeneratorEnqueuer:
         self.queue = None
 
     def get(self):
-        """Convenience: block until one item is available."""
+        """Generator draining the queue, skipping None (reference
+        data_util.py:115-129)."""
+        while self.is_running():
+            try:
+                item = self.queue.get(timeout=self.wait_time)
+            except _queue.Empty:
+                continue
+            if item is not None:
+                yield item
+
+    def get_one(self):
+        """Block until one item is available (round-1 API, kept)."""
         while self.is_running():
             try:
                 return self.queue.get(timeout=self.wait_time)
