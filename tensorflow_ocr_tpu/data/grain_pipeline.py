@@ -34,6 +34,12 @@ class _IcdarSource:
     def __getitem__(self, idx: int):
         return self.files[int(idx)]
 
+    def __repr__(self):
+        # stable across instances: grain validates repr(data_source) when
+        # restoring iterator state
+        return (f"_IcdarSource(path={self.cfg.training_data_path!r}, "
+                f"n={len(self.files)})")
+
 
 def _prepare(cfg: DataConfig, want_east: bool, fn: str) -> icdar.Sample:
     rng = np.random.RandomState(abs(hash(fn)) % (2**31))
@@ -55,9 +61,38 @@ def _prepare(cfg: DataConfig, want_east: bool, fn: str) -> icdar.Sample:
     return s
 
 
+class CheckpointableLoader:
+    """Iterator over collated batch dicts with grain's exact-resume state.
+
+    ``get_state()``/``set_state()`` expose the underlying
+    DataLoaderIterator's byte state, so the trainer can persist the data
+    position with the model checkpoint and replay the exact remaining
+    sample sequence on restore — beyond the reference's ``--restore``,
+    which resumed the step counter but re-shuffled the data
+    (/root/reference/multigpu_train.py:152-158).
+    """
+
+    def __init__(self, loader):
+        self._it = iter(loader)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        batch = dict(next(self._it))
+        batch["fns"] = []  # paths stay host-side; grain drops strings
+        return batch
+
+    def get_state(self) -> bytes:
+        return self._it.get_state()
+
+    def set_state(self, state: bytes) -> None:
+        self._it.set_state(state)
+
+
 def grain_loader(cfg: DataConfig, want_east: bool = False, seed: int = 0,
-                 num_epochs: Optional[int] = None):
-    """Returns an iterator of collated batch dicts backed by grain."""
+                 num_epochs: Optional[int] = None) -> CheckpointableLoader:
+    """Returns a checkpointable iterator of collated batch dicts."""
     import grain.python as grain
 
     class PrepareSample(grain.MapTransform):
@@ -90,10 +125,4 @@ def grain_loader(cfg: DataConfig, want_east: bool = False, seed: int = 0,
         ],
         worker_count=max(0, cfg.num_workers - 1),
     )
-    def gen():
-        for batch in loader:
-            batch = dict(batch)
-            batch["fns"] = []  # paths stay host-side; grain drops strings
-            yield batch
-
-    return gen()
+    return CheckpointableLoader(loader)

@@ -365,7 +365,15 @@ def _ckpt_dir(path: str, step: int) -> str:
     return os.path.join(os.path.abspath(path), f"ckpt_{step}")
 
 
-def save_checkpoint(path: str, state: TrainState) -> str:
+DATA_ITER_STATE_FILE = "grain_iter_state.bin"
+
+
+def save_checkpoint(path: str, state: TrainState, data_iter=None) -> str:
+    """Save the train state; if ``data_iter`` exposes ``get_state()``
+    (data/grain_pipeline.CheckpointableLoader), persist the exact data
+    position next to it so resume replays the remaining sample sequence
+    (beyond the reference's step-only --restore, multigpu_train.py:152-158).
+    """
     import orbax.checkpoint as ocp
 
     step = int(state.step)
@@ -373,7 +381,22 @@ def save_checkpoint(path: str, state: TrainState) -> str:
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(d, jax.device_get(state), force=True)
     ckptr.wait_until_finished()
+    if data_iter is not None and hasattr(data_iter, "get_state"):
+        with open(os.path.join(d, DATA_ITER_STATE_FILE), "wb") as f:
+            f.write(data_iter.get_state())
     return d
+
+
+def restore_data_iter(ckpt_dir: str, data_iter) -> bool:
+    """Restore a checkpointable data iterator's position, if saved."""
+    p = os.path.join(ckpt_dir, DATA_ITER_STATE_FILE)
+    if data_iter is None or not hasattr(data_iter, "set_state"):
+        return False
+    if not os.path.exists(p):
+        return False
+    with open(p, "rb") as f:
+        data_iter.set_state(f.read())
+    return True
 
 
 def latest_checkpoint(path: str) -> Optional[str]:
@@ -484,6 +507,7 @@ class Trainer:
         self.tx = None
         self._step_fn = None
         self._preempted = False
+        self._restored_from = None
         self.eval_hook = None
         if cfg.train.eval_every_steps and cfg.eval.gt_path:
             from tensorflow_ocr_tpu.train.eval_hook import EvalDuringTraining
@@ -500,9 +524,11 @@ class Trainer:
 
         signal.signal(signal.SIGTERM, handler)
 
-    def _maybe_handle_preemption(self) -> bool:
+    def _maybe_handle_preemption(self, data_iter=None) -> bool:
         if self._preempted:
-            path = save_checkpoint(self.cfg.train.checkpoint_path, self.state)
+            path = save_checkpoint(
+                self.cfg.train.checkpoint_path, self.state, data_iter
+            )
             print(f"preempted: checkpoint saved to {path}")
             return True
         return False
@@ -518,6 +544,7 @@ class Trainer:
             ck = latest_checkpoint(tcfg.checkpoint_path)
             if ck:
                 self.state = restore_checkpoint(ck, self.state)
+                self._restored_from = ck
                 print(f"restored from {ck} at step {int(self.state.step)}")
         elif tcfg.pretrained_model_path:
             if tcfg.pretrained_model_path.endswith(".npz"):
@@ -553,6 +580,10 @@ class Trainer:
     def run(self, batches, max_steps: Optional[int] = None) -> Dict[str, float]:
         cfg = self.cfg.train
         max_steps = max_steps or cfg.max_steps
+        if self._restored_from is not None:
+            if restore_data_iter(self._restored_from, batches):
+                print(f"data iterator resumed from {self._restored_from}")
+            self._restored_from = None
         t0 = time.time()
         last_metrics: Dict[str, float] = {}
         window = cfg.log_every_steps
@@ -584,8 +615,8 @@ class Trainer:
                     and hasattr(self.summary_writer, "add_detection_summaries")):
                 self._emit_image_summaries(batch, step)
             if cfg.save_checkpoint_steps and step > 0 and step % cfg.save_checkpoint_steps == 0:
-                save_checkpoint(cfg.checkpoint_path, self.state)
-            if self._maybe_handle_preemption():
+                save_checkpoint(cfg.checkpoint_path, self.state, batches)
+            if self._maybe_handle_preemption(batches):
                 break
         return last_metrics
 
