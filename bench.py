@@ -57,6 +57,15 @@ def detect_latency_main():
         _ = np.asarray(valid)
         times.append((time.time() - t0) * 1000)
     p50 = float(np.percentile(times, 50))
+
+    # Device-time estimate: the tunneled runtime adds a ~30 ms round trip
+    # per sync; back-to-back dispatches with one final fetch amortize it.
+    n_amort = 20
+    t0 = time.time()
+    for _i in range(n_amort):
+        boxes, sizes, valid = run(variables, img)
+    _ = np.asarray(valid)
+    amortized = (time.time() - t0) * 1000 / n_amort
     print(
         json.dumps(
             {
@@ -64,6 +73,7 @@ def detect_latency_main():
                 "value": round(p50, 2),
                 "unit": "ms",
                 "vs_baseline": 0.0,
+                "device_ms_amortized": round(amortized, 2),
             }
         )
     )

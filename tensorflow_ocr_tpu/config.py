@@ -38,7 +38,11 @@ class DataConfig:
     random_scale: Sequence[float] = (0.5, 1.0, 2.0, 3.0)
     use_random_scale: bool = False
     use_crop: bool = False
-    background_ratio: float = 3.0 / 8.0
+    # Probability of drawing a text-free background crop instead of a text
+    # sample (needs use_crop). The reference defines the 3/8 flag but hard
+    # disables the branch (datasets/icdar.py:582 `if (0):`), so the wired
+    # default stays 0; set >0 to enable the intended behavior.
+    background_ratio: float = 0.0
     use_rotate: bool = False
     max_rotate_deg: float = 10.0
     # Cache decoded JPEG frames (pre-augmentation) across epochs.

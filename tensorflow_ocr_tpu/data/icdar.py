@@ -242,20 +242,39 @@ def prepare_sample(im_fn: str, cfg: DataConfig,
         deg = float(rng.uniform(-cfg.max_rotate_deg, cfg.max_rotate_deg))
         im, polys = rotate_image_and_polys(im, polys, deg, rng)
         polys, tags = G.check_and_validate_polys(polys, tags, im.shape[:2])
-    if cfg.use_crop:
+    size = cfg.input_size
+    if cfg.use_crop and rng.rand() < cfg.background_ratio:
+        # Background sample (the intended-but-disabled branch at
+        # reference datasets/icdar.py:582-598): crop a text-free region,
+        # pad square, train it as pure negatives. Skip the image if no
+        # text-free crop can be found (reference `continue`s).
         im, polys, tags = crop_area(
-            im, polys, tags, crop_background=False,
+            im, polys, tags, crop_background=True,
             min_crop_side_ratio=cfg.min_crop_side_ratio, rng=rng,
         )
-    if polys.shape[0] == 0:
-        return None
+        if polys.shape[0] > 0:
+            return None
+        new_h, new_w = im.shape[:2]
+        side = max(new_h, new_w, size)
+        im_padded = np.zeros((side, side, 3), im.dtype)
+        im_padded[:new_h, :new_w] = im
+        im = cv2.resize(im_padded, dsize=(size, size))
+        polys = np.zeros((0, 4, 2), np.float32)
+        tags = np.zeros((0,), bool)
+    else:
+        if cfg.use_crop:
+            im, polys, tags = crop_area(
+                im, polys, tags, crop_background=False,
+                min_crop_side_ratio=cfg.min_crop_side_ratio, rng=rng,
+            )
+        if polys.shape[0] == 0:
+            return None
 
-    new_h, new_w = im.shape[:2]
-    size = cfg.input_size
-    im = cv2.resize(im, dsize=(size, size))
-    polys = polys.copy()
-    polys[:, :, 0] *= size / float(new_w)
-    polys[:, :, 1] *= size / float(new_h)
+        new_h, new_w = im.shape[:2]
+        im = cv2.resize(im, dsize=(size, size))
+        polys = polys.copy()
+        polys[:, :, 0] *= size / float(new_w)
+        polys[:, :, 1] *= size / float(new_h)
 
     padded, ptags, pvalid = _pad_polys(polys, tags, cfg.max_polys)
     if want_east:

@@ -126,3 +126,33 @@ def test_rotate_keeps_poly_count():
     center_before = polys[0].mean(0)
     center_after = p2[0].mean(0)
     assert np.linalg.norm(center_before - center_after) < 12
+
+
+def test_background_crop_sampling(dataset):
+    """background_ratio=1 with use_crop draws text-free crops: zero valid
+    polys, square input-size image (intended branch of reference
+    datasets/icdar.py:582-598). Images where no text-free crop exists are
+    skipped (None)."""
+    path, files = dataset
+    cfg = DataConfig(training_data_path=path, input_size=64, max_polys=8,
+                     use_crop=True, background_ratio=1.0)
+    rng = np.random.RandomState(0)
+    got_background = 0
+    for fn in files * 3:
+        s = icdar.prepare_sample(fn, cfg, rng)
+        if s is None:
+            continue
+        assert s.image.shape == (64, 64, 3)
+        assert not s.valid.any()
+        got_background += 1
+    assert got_background > 0
+
+    # background_ratio=0 keeps the text path: every sample has text
+    cfg0 = DataConfig(training_data_path=path, input_size=64, max_polys=8,
+                      use_crop=True, background_ratio=0.0)
+    s = None
+    for fn in files:
+        s = icdar.prepare_sample(fn, cfg0, np.random.RandomState(1))
+        if s is not None:
+            break
+    assert s is not None and s.valid.any()
