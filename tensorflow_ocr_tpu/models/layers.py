@@ -23,6 +23,76 @@ IMAGENET_MEANS = (123.68, 116.78, 103.94)
 # -8% step time. Kept as an experiment toggle; default off.
 POINTWISE_DOT = False
 
+# Route supported convs through the bare Pallas kernels
+# (ops/pallas_conv.py). The kernels beat XLA's conv emitters up to 3.4x
+# in isolation, but swapping them in WITHOUT the fused BN/relu dataflow
+# regresses the full step 74->132 ms: XLA loses its conv+BN-stat
+# fusions, pads/copies materialize, relu stops fusing. Default OFF;
+# the integrated win ships via the fused bottleneck path
+# (ops/pallas_fused.py), not this flag.
+PALLAS_CONVS: bool | None = False
+
+
+def _pallas_convs_enabled() -> bool:
+    if PALLAS_CONVS is not None:
+        return PALLAS_CONVS
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+class Conv2D(nn.Module):
+    """nn.Conv-compatible conv that dispatches hot shapes to Pallas.
+
+    Parameter tree is identical to nn.Conv ('kernel' (kh,kw,ci,co) +
+    optional 'bias'), so checkpoints and the slim importer see no
+    difference. Falls back to lax.conv_general_dilated for shapes the
+    Pallas path does not cover (stride-2 3x3, dilations, odd tilings) and
+    on CPU.
+    """
+
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    dilation: Tuple[int, int] = (1, 1)
+    padding: Any = "SAME"
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kh, kw = self.kernel
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kh, kw, cin, self.features), jnp.float32,
+        )
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+        from tensorflow_ocr_tpu.ops import pallas_conv as PC
+
+        xc = x.astype(self.dtype)
+        wc = kernel.astype(self.dtype)
+        if (_pallas_convs_enabled()
+                and self.padding == "SAME"
+                and PC.supported(x.shape, (kh, kw), self.strides,
+                                 self.dilation, self.features)):
+            y = PC.conv2d(xc, wc, self.strides)
+        else:
+            y = jax.lax.conv_general_dilated(
+                xc, wc, self.strides, self.padding,
+                rhs_dilation=self.dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=self.dtype,
+            )
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
 
 def mean_image_subtraction(images: jnp.ndarray,
                            means: Sequence[float] = IMAGENET_MEANS) -> jnp.ndarray:
@@ -125,15 +195,15 @@ class ConvBN(nn.Module):
                 pad_beg = ((kh - 1) // 2, (kw - 1) // 2)
                 pad_end = (kh // 2, kw // 2)
                 padding = ((pad_beg[0], pad_end[0]), (pad_beg[1], pad_end[1]))
-            x = nn.Conv(
+            x = Conv2D(
                 self.features,
                 self.kernel,
                 strides=self.strides,
                 padding=padding,
-                kernel_dilation=self.dilation,
+                dilation=self.dilation,
                 use_bias=not self.use_bn,
                 dtype=self.dtype,
-                param_dtype=jnp.float32,
+                name="Conv_0",
             )(x)
         if self.use_bn:
             x = nn.BatchNorm(
