@@ -7,6 +7,10 @@ device time breakdown (the workflow that identified BN reductions as the
 step's dominant cost).
 """
 
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import collections
 import glob
 import gzip

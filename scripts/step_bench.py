@@ -10,6 +10,10 @@ Env:
 Prints ms/step and images/sec/chip for the steady-state dispatch.
 """
 
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import time
 

@@ -9,6 +9,10 @@ on the training set — exercises every layer L1..L6 of SURVEY.md §1.
 Usage: python scripts/tpu_smoke.py [--steps 400]
 """
 
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 import time
 

@@ -18,10 +18,167 @@ from __future__ import annotations
 
 from typing import Any, Dict, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from tensorflow_ocr_tpu.models.layers import ConvBN
+
+# Fused Pallas bottleneck path (ops/pallas_fused.py): conv kernels with
+# the previous BatchNorm+relu applied as a VMEM prologue and this conv's
+# BN statistics accumulated as an epilogue. Opt-in (OCR_FUSED_BOTTLENECKS=1
+# or set this to True): measured 377 vs 443 img/s/chip against XLA's
+# lowering at b32/512 — the per-op custom-VJP dataflow is HBM-bound on
+# the same algorithmic traffic, so it does not yet beat the fused XLA
+# pipeline it replaces (see DESIGN.md "fused bottleneck path").
+FUSED_BOTTLENECKS: bool | None = None
+
+
+def _fused_enabled() -> bool:
+    import os
+
+    env = os.environ.get("OCR_FUSED_BOTTLENECKS")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    if FUSED_BOTTLENECKS is not None:
+        return FUSED_BOTTLENECKS
+    return False
+
+
+class _Kernel(nn.Module):
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32
+        )
+
+
+class _BNVars(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32),
+        )
+        var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32),
+        )
+        return scale, bias, mean, var
+
+
+class _ConvBNParams(nn.Module):
+    """Parameter container matching ConvBN's tree exactly
+    (<name>/Conv_0/kernel + <name>/BatchNorm_0/{scale,bias} and
+    batch_stats mean/var), without computing anything itself."""
+
+    cin: int
+    cout: int
+    kh: int = 1
+    kw: int = 1
+
+    @nn.compact
+    def __call__(self):
+        kernel = _Kernel((self.kh, self.kw, self.cin, self.cout),
+                         name="Conv_0")()
+        scale, bias, mean, var = _BNVars(self.cout, name="BatchNorm_0")()
+        return kernel, scale, bias, mean, var
+
+
+class FusedBottleneck(nn.Module):
+    """Stride-1 bottleneck on the fused Pallas path (ops/pallas_fused.py).
+
+    Dataflow keeps RAW conv outputs in HBM; each kernel applies the
+    previous BN+relu as a prologue and emits its own BN statistics as an
+    epilogue. The unit boundary (BN3 affine + residual add + relu) is one
+    fused XLA elementwise pass. Parameter tree identical to Bottleneck.
+    """
+
+    depth: int
+    depth_bottleneck: int
+    dtype: Any = jnp.bfloat16
+    bn_momentum: float = 0.997
+    bn_epsilon: float = 1e-5
+
+    def _affine(self, stats, count, scale, bias, mean_v, var_v, train):
+        """(a, b) per channel from batch stats (train) or running stats."""
+        if train:
+            mu = stats[0] / count
+            var = jnp.maximum(stats[1] / count - mu * mu, 0.0)
+            if not self.is_initializing():
+                m = self.bn_momentum
+                mean_v.value = m * mean_v.value + (1 - m) * mu
+                var_v.value = m * var_v.value + (1 - m) * var
+        else:
+            mu, var = mean_v.value, var_v.value
+        r = jax.lax.rsqrt(var + self.bn_epsilon)
+        a = scale * r
+        b = bias - mu * a
+        return jnp.stack([a, b])
+
+    @nn.compact
+    def __call__(self, o: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from tensorflow_ocr_tpu.ops import pallas_fused as PF
+
+        depth_in = o.shape[-1]
+        db, depth = self.depth_bottleneck, self.depth
+        n, h, wd, _ = o.shape
+        count = float(n * h * wd)
+
+        k1, g1, be1, m1, v1 = _ConvBNParams(depth_in, db, name="conv1")()
+        k2, g2, be2, m2, v2 = _ConvBNParams(db, db, 3, 3, name="conv2")()
+        k3, g3, be3, m3, v3 = _ConvBNParams(db, depth, name="conv3")()
+
+        dt = self.dtype
+        o = o.astype(dt)
+        ident = jnp.stack([jnp.ones((depth_in,), jnp.float32),
+                           jnp.zeros((depth_in,), jnp.float32)])
+
+        bm1 = PF.pick_bm(n * h * wd, depth_in, db)
+        z1, s1 = PF.fused_conv1x1(o, ident, k1[0, 0].astype(dt), bm1)
+        ab1 = self._affine(s1, count, g1, be1, m1, v1, train)
+
+        th = PF.pick_th(h, wd, db, db)
+        z2, s2 = PF.fused_conv3x3(z1, ab1, k2.reshape(9 * db, db).astype(dt), th)
+        ab2 = self._affine(s2, count, g2, be2, m2, v2, train)
+
+        bm3 = PF.pick_bm(n * h * wd, db, depth)
+        z3, s3 = PF.fused_conv1x1(z2, ab2, k3[0, 0].astype(dt), bm3)
+        ab3 = self._affine(s3, count, g3, be3, m3, v3, train)
+
+        if depth_in != depth:
+            ks, gs, bes, ms, vs = _ConvBNParams(depth_in, depth,
+                                                name="shortcut")()
+            bms = PF.pick_bm(n * h * wd, depth_in, depth)
+            zs, ss = PF.fused_conv1x1(o, ident, ks[0, 0].astype(dt), bms)
+            abs_ = self._affine(ss, count, gs, bes, ms, vs, train)
+        else:
+            zs, abs_ = o, jnp.stack(
+                [jnp.ones((depth,), jnp.float32),
+                 jnp.zeros((depth,), jnp.float32)])
+
+        return PF.fused_boundary(z3, ab3, zs, abs_)
+
+    @staticmethod
+    def supported(o_shape, depth: int, depth_bottleneck: int) -> bool:
+        from tensorflow_ocr_tpu.ops import pallas_fused as PF
+
+        n, h, wd, cin = o_shape
+        db = depth_bottleneck
+        return (PF.supported(o_shape, (1, 1), db)
+                and PF.supported((n, h, wd, db), (3, 3), db)
+                and PF.supported((n, h, wd, db), (1, 1), depth)
+                and PF.supported(o_shape, (1, 1), depth))
 
 # (num_units,) per block for each variant (reference resnet_v1.py:237-344).
 RESNET_UNITS = {
@@ -77,16 +234,23 @@ class ResNetV1(nn.Module):
 
         base_depths = (256, 512, 1024, 2048)
         bottlenecks = (64, 128, 256, 512)
+        fused = _fused_enabled()
         for b, (n_units, depth, depth_b) in enumerate(
             zip(self.units, base_depths, bottlenecks)
         ):
             for u in range(n_units):
                 # stride 2 on the last unit of blocks 1-3 (resnet_v1.py:246-255)
                 stride = 2 if (u == n_units - 1 and b < 3) else 1
-                x = Bottleneck(
-                    depth, depth_b, stride, dtype=self.dtype,
-                    name=f"block{b + 1}_unit{u + 1}",
-                )(x, train)
+                name = f"block{b + 1}_unit{u + 1}"
+                if (fused and stride == 1
+                        and FusedBottleneck.supported(x.shape, depth, depth_b)):
+                    x = FusedBottleneck(
+                        depth, depth_b, dtype=self.dtype, name=name,
+                    )(x, train)
+                else:
+                    x = Bottleneck(
+                        depth, depth_b, stride, dtype=self.dtype, name=name,
+                    )(x, train)
             if b == 0:
                 ep["pool3"] = x
             elif b == 1:
