@@ -180,6 +180,120 @@ class FusedBottleneck(nn.Module):
                 and PF.supported((n, h, wd, db), (1, 1), depth)
                 and PF.supported(o_shape, (1, 1), depth))
 
+def _ghost_enabled() -> bool:
+    import os
+
+    return os.environ.get("OCR_GHOST_UNITS", "0") not in ("0", "false",
+                                                          "off")
+
+
+class GhostBottleneck(nn.Module):
+    """Stride-1 bottleneck on the unit-fused ghost-BN path
+    (ops/pallas_unit.py): the whole conv1-bn-conv2-bn-conv3-bn-residual
+    unit runs band-local in one Pallas kernel per (image, row band),
+    with per-(image, band) ghost statistics (Hoffer et al., 2017).
+
+    Training uses the fused kernel; eval applies the running-stats
+    affine through plain XLA ops (BN is a constant affine there).
+    Parameter tree identical to Bottleneck.
+    """
+
+    depth: int
+    depth_bottleneck: int
+    dtype: Any = jnp.bfloat16
+    bn_momentum: float = 0.997
+    bn_epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, o: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from tensorflow_ocr_tpu.ops import pallas_unit as PU
+
+        depth_in = o.shape[-1]
+        db, depth = self.depth_bottleneck, self.depth
+        n, h, wd, _ = o.shape
+        proj = depth_in != depth
+        dt = self.dtype
+
+        k1, g1, be1, m1, v1 = _ConvBNParams(depth_in, db, name="conv1")()
+        k2, g2, be2, m2, v2 = _ConvBNParams(db, db, 3, 3, name="conv2")()
+        k3, g3, be3, m3, v3 = _ConvBNParams(db, depth, name="conv3")()
+        if proj:
+            ks, gs, bes, ms, vs = _ConvBNParams(depth_in, depth,
+                                                name="shortcut")()
+
+        o = o.astype(dt)
+        w1 = k1[0, 0].astype(dt)
+        w2 = k2.reshape(9 * db, db).astype(dt)
+        w3 = k3[0, 0].astype(dt)
+
+        if train:
+            gh = PU.pick_gh(h, wd, depth_in, db, depth, proj=proj)
+            gb1 = jnp.stack([g1, be1])
+            gb2 = jnp.stack([g2, be2])
+            gb3 = jnp.stack([g3, be3])
+            if proj:
+                out, s1, s2, s3, ss = PU.ghost_unit_proj(
+                    o, w1, gb1, w2, gb2, w3, gb3, ks[0, 0].astype(dt),
+                    jnp.stack([gs, bes]), gh, self.bn_epsilon)
+            else:
+                out, s1, s2, s3 = PU.ghost_unit_id(
+                    o, w1, gb1, w2, gb2, w3, gb3, gh, self.bn_epsilon)
+            if not self.is_initializing():
+                cnt = float(n * h * wd)
+                mom = self.bn_momentum
+
+                def upd(mean_v, var_v, s):
+                    s = jax.lax.stop_gradient(s)
+                    mu = s[0] / cnt
+                    var = jnp.maximum(s[1] / cnt - mu * mu, 0.0)
+                    mean_v.value = mom * mean_v.value + (1 - mom) * mu
+                    var_v.value = mom * var_v.value + (1 - mom) * var
+
+                upd(m1, v1, s1)
+                upd(m2, v2, s2)
+                upd(m3, v3, s3)
+                if proj:
+                    upd(ms, vs, ss)
+            return out
+
+        # eval: running-stats affine, plain XLA (fuses fine)
+        def aff(scale, bias, mean_v, var_v):
+            r = jax.lax.rsqrt(var_v.value + self.bn_epsilon)
+            a = scale * r
+            return a, bias - mean_v.value * a
+
+        def conv3x3(x, w):
+            return jax.lax.conv_general_dilated(
+                x, w.reshape(3, 3, db, db).astype(x.dtype), (1, 1),
+                "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        f32 = jnp.float32
+        a1, b1 = aff(g1, be1, m1, v1)
+        z1 = jnp.einsum("nhwc,cd->nhwd", o, w1)
+        act1 = jnp.maximum(z1.astype(f32) * a1 + b1, 0.0).astype(dt)
+        a2, b2 = aff(g2, be2, m2, v2)
+        z2 = conv3x3(act1, k2)
+        act2 = jnp.maximum(z2.astype(f32) * a2 + b2, 0.0).astype(dt)
+        a3, b3 = aff(g3, be3, m3, v3)
+        z3 = jnp.einsum("nhwc,cd->nhwd", act2, w3)
+        if proj:
+            as_, bs = aff(gs, bes, ms, vs)
+            zs = jnp.einsum("nhwc,cd->nhwd", o, ks[0, 0].astype(dt))
+            sc = zs.astype(f32) * as_ + bs
+        else:
+            sc = o.astype(f32)
+        out = jnp.maximum(z3.astype(f32) * a3 + b3 + sc, 0.0)
+        return out.astype(dt)
+
+    @staticmethod
+    def supported(o_shape, depth: int, depth_bottleneck: int) -> bool:
+        from tensorflow_ocr_tpu.ops import pallas_unit as PU
+
+        n, h, wd, cin = o_shape
+        return PU.pick_gh(h, wd, cin, depth_bottleneck, depth,
+                          proj=cin != depth) is not None
+
+
 # (num_units,) per block for each variant (reference resnet_v1.py:237-344).
 RESNET_UNITS = {
     50: (3, 4, 6, 3),
@@ -235,6 +349,7 @@ class ResNetV1(nn.Module):
         base_depths = (256, 512, 1024, 2048)
         bottlenecks = (64, 128, 256, 512)
         fused = _fused_enabled()
+        ghost = _ghost_enabled()
         for b, (n_units, depth, depth_b) in enumerate(
             zip(self.units, base_depths, bottlenecks)
         ):
@@ -242,7 +357,13 @@ class ResNetV1(nn.Module):
                 # stride 2 on the last unit of blocks 1-3 (resnet_v1.py:246-255)
                 stride = 2 if (u == n_units - 1 and b < 3) else 1
                 name = f"block{b + 1}_unit{u + 1}"
-                if (fused and stride == 1
+                if (ghost and stride == 1
+                        and GhostBottleneck.supported(x.shape, depth,
+                                                      depth_b)):
+                    x = GhostBottleneck(
+                        depth, depth_b, dtype=self.dtype, name=name,
+                    )(x, train)
+                elif (fused and stride == 1
                         and FusedBottleneck.supported(x.shape, depth, depth_b)):
                     x = FusedBottleneck(
                         depth, depth_b, dtype=self.dtype, name=name,
