@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Held-out evaluation on hard synthetic scenes.
+
+Round-1 quality numbers were measured on the training images themselves
+(VERDICT.md "What's weak" #6). This script closes that hole: it renders
+two DISJOINT hard synthetic sets (textured backgrounds, striped
+text-like instances, non-text distractors, ignore regions; see
+data/icdar.make_synthetic_dataset(hard=True)), trains on one, and
+reports P/R/F on the other with EMA weights — images the model has
+never seen.
+
+Usage: python scripts/holdout_eval.py [--steps 1500]
+       [--model pixellink_resnet50] [--train-images 32] [--val-images 16]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--model", default="pixellink_resnet50")
+    ap.add_argument("--train-images", type=int, default=32)
+    ap.add_argument("--val-images", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    args = ap.parse_args()
+
+    from tensorflow_ocr_tpu.config import Config
+    from tensorflow_ocr_tpu.data.icdar import make_synthetic_dataset
+    from tensorflow_ocr_tpu.parallel.mesh import make_mesh
+    from tensorflow_ocr_tpu.train import trainer as T
+    from tensorflow_ocr_tpu.train.eval_hook import EvalDuringTraining
+
+    train_dir = "/tmp/holdout_train"
+    val_dir = "/tmp/holdout_val"
+    make_synthetic_dataset(train_dir, args.train_images, (512, 512),
+                           seed=0, hard=True)
+    make_synthetic_dataset(val_dir, args.val_images, (512, 512),
+                           seed=1, hard=True)
+
+    cfg = Config()
+    cfg.model.name = args.model
+    cfg.loss.name = "east" if args.model.startswith("east") else "ohem"
+    cfg.data.training_data_path = train_dir
+    cfg.data.input_size = 512
+    cfg.data.batch_size = args.batch
+    cfg.data.max_polys = 16
+    cfg.data.min_text_size = 5
+    cfg.train.scan_steps = 25
+    cfg.train.max_steps = args.steps
+    cfg.train.learning_rate = args.lr
+    cfg.train.save_checkpoint_steps = 0
+
+    mesh = make_mesh()
+    tr = T.Trainer(cfg, mesh)
+    t0 = time.time()
+    metrics = tr.run_device_cached()
+    dt = time.time() - t0
+    print(f"trained {args.steps} steps in {dt:.1f}s "
+          f"({args.steps * args.batch / dt:.0f} img/s); {metrics}")
+
+    val_hook = EvalDuringTraining(cfg, val_dir,
+                                  max_images=args.val_images)
+    train_hook = EvalDuringTraining(cfg, train_dir, max_images=16)
+    val = val_hook(tr.model, tr.state, use_ema=True)
+    train = train_hook(tr.model, tr.state, use_ema=True)
+    print(f"VAL  (held out, {args.val_images} imgs): "
+          f"P={val.get('precision', 0):.3f} R={val.get('recall', 0):.3f} "
+          f"F={val.get('fmean', 0):.3f}")
+    print(f"TRAIN (seen, 16 imgs):                  "
+          f"P={train.get('precision', 0):.3f} "
+          f"R={train.get('recall', 0):.3f} F={train.get('fmean', 0):.3f}")
+
+
+if __name__ == "__main__":
+    main()

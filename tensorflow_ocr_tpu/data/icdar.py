@@ -292,30 +292,87 @@ def prepare_sample(im_fn: str, cfg: DataConfig,
 
 def make_synthetic_dataset(path: str, num_images: int = 10,
                            size: Tuple[int, int] = (480, 640),
-                           seed: int = 0) -> List[str]:
+                           seed: int = 0, hard: bool = False) -> List[str]:
     """Write a tiny synthetic ICDAR-format dataset (images + gt_*.txt).
 
     The container has no ICDAR-2015 data; tests and benchmarks use this to
     exercise the exact file format the reference consumes.
+
+    ``hard=True`` renders scenes a detector can actually get wrong:
+    textured backgrounds, striped text-like instances (not solid boxes),
+    non-text distractor shapes that must NOT be detected (circles, lines,
+    solid blobs), more instances with wider rotations, and ### ignore
+    regions — used for the held-out evaluation in BASELINE.md.
     """
     os.makedirs(path, exist_ok=True)
     rng = np.random.RandomState(seed)
     h, w = size
     files = []
     for i in range(num_images):
-        im = rng.randint(0, 80, (h, w, 3), np.uint8)
+        if hard:
+            # textured background: low-freq gradient + noise
+            yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+            base = (40 + 30 * np.sin(xx / w * rng.uniform(2, 8))
+                    + 30 * np.cos(yy / h * rng.uniform(2, 8)))
+            im = np.clip(
+                base[..., None] + rng.randn(h, w, 3) * 12, 0, 120
+            ).astype(np.uint8)
+            # distractors: bright shapes that are not text
+            for _ in range(rng.randint(2, 6)):
+                kind = rng.randint(3)
+                col = tuple(int(c) for c in rng.randint(160, 255, 3))
+                if kind == 0:
+                    cv2.circle(im, (rng.randint(0, w), rng.randint(0, h)),
+                               rng.randint(8, 40), col, -1)
+                elif kind == 1:
+                    p0 = (rng.randint(0, w), rng.randint(0, h))
+                    p1 = (rng.randint(0, w), rng.randint(0, h))
+                    cv2.line(im, p0, p1, col, rng.randint(2, 5))
+                else:
+                    cx0, cy0 = rng.randint(0, w), rng.randint(0, h)
+                    s = rng.randint(10, 30)
+                    cv2.rectangle(im, (cx0, cy0), (cx0 + s, cy0 + s),
+                                  col, -1)
+            n_inst = rng.randint(3, 11)
+            max_ang = 60
+        else:
+            im = rng.randint(0, 80, (h, w, 3), np.uint8)
+            n_inst = rng.randint(1, 6)
+            max_ang = 30
         lines = []
-        for _ in range(rng.randint(1, 6)):
+        for _ in range(n_inst):
             mx, my = max(w // 6, 16), max(h // 6, 12)
             cx, cy = rng.randint(mx, w - mx), rng.randint(my, h - my)
             bw = rng.randint(max(w // 12, 8), max(w // 4, 16))
             bh = rng.randint(max(h // 24, 6), max(h // 10, 10))
-            ang = rng.uniform(-30, 30)
+            ang = rng.uniform(-max_ang, max_ang)
             box = cv2.boxPoints(((cx, cy), (bw, bh), ang))
             # order clockwise from top-left-ish for gt format
             box = box[np.argsort(np.arctan2(box[:, 1] - cy, box[:, 0] - cx))]
-            cv2.fillPoly(im, [box.astype(np.int32)], (255, 255, 255))
-            tag = "###" if rng.rand() < 0.15 else "text"
+            if hard:
+                # striped "characters" on a bright plate, like real text
+                plate = tuple(int(c) for c in rng.randint(190, 255, 3))
+                cv2.fillPoly(im, [box.astype(np.int32)], plate)
+                n_ch = max(2, int(round(bw / max(bh * 0.7, 4))))
+                ux = np.array([np.cos(np.deg2rad(ang)),
+                               np.sin(np.deg2rad(ang))])
+                uy = np.array([-ux[1], ux[0]])
+                for c in range(n_ch):
+                    off = (c - (n_ch - 1) / 2.0) * (bw / max(n_ch, 1))
+                    ctr = np.array([cx, cy]) + ux * off
+                    cw, chh = bw / max(n_ch, 1) * 0.55, bh * 0.6
+                    cb = np.stack([
+                        ctr + ux * cw / 2 + uy * chh / 2,
+                        ctr - ux * cw / 2 + uy * chh / 2,
+                        ctr - ux * cw / 2 - uy * chh / 2,
+                        ctr + ux * cw / 2 - uy * chh / 2,
+                    ])
+                    cv2.fillPoly(im, [cb.astype(np.int32)],
+                                 (int(plate[0] * 0.2),) * 3)
+                tag = "###" if rng.rand() < 0.2 else "text"
+            else:
+                cv2.fillPoly(im, [box.astype(np.int32)], (255, 255, 255))
+                tag = "###" if rng.rand() < 0.15 else "text"
             coords = ",".join(str(int(round(v))) for v in box.reshape(-1))
             lines.append(f"{coords},{tag}")
         fn = os.path.join(path, f"img_{i}.jpg")

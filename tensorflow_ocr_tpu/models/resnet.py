@@ -304,11 +304,17 @@ RESNET_UNITS = {
 
 
 class Bottleneck(nn.Module):
-    """slim resnet_v1 bottleneck (reference nets/resnet_v1.py:67-111)."""
+    """slim resnet_v1 bottleneck (reference nets/resnet_v1.py:67-111).
+
+    ``rate`` is the atrous rate applied to the 3x3 conv when an
+    ``output_stride`` cap has converted further striding into dilation
+    (reference nets/resnet_utils.py:125-206 stack_blocks_dense).
+    """
 
     depth: int            # output channels
     depth_bottleneck: int
     stride: int
+    rate: int = 1
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -325,6 +331,7 @@ class Bottleneck(nn.Module):
         y = ConvBN(self.depth_bottleneck, (1, 1), dtype=self.dtype, name="conv1")(x, train)
         y = ConvBN(
             self.depth_bottleneck, (3, 3), (self.stride, self.stride),
+            dilation=(self.rate, self.rate),
             explicit_pad=True, dtype=self.dtype, name="conv2",
         )(y, train)
         y = ConvBN(self.depth, (1, 1), activation=None, dtype=self.dtype, name="conv3")(y, train)
@@ -332,10 +339,18 @@ class Bottleneck(nn.Module):
 
 
 class ResNetV1(nn.Module):
-    """Backbone returning the pool2..pool5 pyramid dict."""
+    """Backbone returning the pool2..pool5 pyramid dict.
+
+    ``output_stride`` caps the total subsampling (relative to the input)
+    with slim's stack_blocks_dense semantics (reference
+    nets/resnet_utils.py:125-206, resnet_v1.py:183-186): once the
+    accumulated stride hits the cap, later units run at stride 1 with
+    their 3x3 convs dilated by the accumulated rate.
+    """
 
     units: Sequence[int] = RESNET_UNITS[50]
     dtype: Any = jnp.bfloat16
+    output_stride: int | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
@@ -346,31 +361,47 @@ class ResNetV1(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
         ep["pool2"] = x
 
+        target = None
+        if self.output_stride is not None:
+            if self.output_stride % 4 or self.output_stride < 4:
+                raise ValueError("output_stride must be a multiple of 4")
+            # the root stack already subsampled by 4 (resnet_v1.py:183-186)
+            target = self.output_stride // 4
+
         base_depths = (256, 512, 1024, 2048)
         bottlenecks = (64, 128, 256, 512)
         fused = _fused_enabled()
         ghost = _ghost_enabled()
+        current, rate = 1, 1
         for b, (n_units, depth, depth_b) in enumerate(
             zip(self.units, base_depths, bottlenecks)
         ):
             for u in range(n_units):
                 # stride 2 on the last unit of blocks 1-3 (resnet_v1.py:246-255)
                 stride = 2 if (u == n_units - 1 and b < 3) else 1
+                unit_rate = 1
+                if target is not None and current == target:
+                    # atrous from here on (resnet_utils.py:183-199)
+                    unit_rate, rate = rate, rate * stride
+                    stride = 1
+                else:
+                    current *= stride
                 name = f"block{b + 1}_unit{u + 1}"
-                if (ghost and stride == 1
+                if (ghost and stride == 1 and unit_rate == 1
                         and GhostBottleneck.supported(x.shape, depth,
                                                       depth_b)):
                     x = GhostBottleneck(
                         depth, depth_b, dtype=self.dtype, name=name,
                     )(x, train)
-                elif (fused and stride == 1
+                elif (fused and stride == 1 and unit_rate == 1
                         and FusedBottleneck.supported(x.shape, depth, depth_b)):
                     x = FusedBottleneck(
                         depth, depth_b, dtype=self.dtype, name=name,
                     )(x, train)
                 else:
                     x = Bottleneck(
-                        depth, depth_b, stride, dtype=self.dtype, name=name,
+                        depth, depth_b, stride, rate=unit_rate,
+                        dtype=self.dtype, name=name,
                     )(x, train)
             if b == 0:
                 ep["pool3"] = x
@@ -380,5 +411,7 @@ class ResNetV1(nn.Module):
         return ep
 
 
-def resnet_v1(depth: int, dtype: Any = jnp.bfloat16) -> ResNetV1:
-    return ResNetV1(units=RESNET_UNITS[depth], dtype=dtype)
+def resnet_v1(depth: int, dtype: Any = jnp.bfloat16,
+              output_stride: int | None = None) -> ResNetV1:
+    return ResNetV1(units=RESNET_UNITS[depth], dtype=dtype,
+                    output_stride=output_stride)

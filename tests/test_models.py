@@ -117,3 +117,37 @@ def test_east_vgg16_jit_forward(img64):
 
     out = fwd(vars_, img64)
     assert out["score"].shape == (1, 16, 16, 1)
+
+
+def test_resnet_output_stride_atrous(img64):
+    """slim stack_blocks_dense output_stride semantics (reference
+    nets/resnet_utils.py:125-206): capping the stride converts later
+    block strides into dilation, keeping the spatial size."""
+    from tensorflow_ocr_tpu.models.resnet import resnet_v1
+
+    for os_, p4, p5 in ((16, 4, 4), (8, 8, 8), (None, 4, 2)):
+        model = resnet_v1(50, output_stride=os_)
+        vars_ = model.init(jax.random.PRNGKey(0), img64, train=False)
+        ep = model.apply(vars_, img64, train=False)
+        assert ep["pool2"].shape[1] == 16
+        assert ep["pool3"].shape[1] == 8
+        assert ep["pool4"].shape[1] == p4, os_
+        assert ep["pool5"].shape[1] == p5, os_
+
+    # same parameter tree as the undilated network (weights transfer)
+    v_a = resnet_v1(50, output_stride=8).init(
+        jax.random.PRNGKey(0), img64, train=False)
+    v_b = resnet_v1(50).init(jax.random.PRNGKey(0), img64, train=False)
+    pa = {str(p) for p, _ in jax.tree_util.tree_flatten_with_path(v_a)[0]}
+    pb = {str(p) for p, _ in jax.tree_util.tree_flatten_with_path(v_b)[0]}
+    assert pa == pb
+
+
+def test_resnet_output_stride_validation():
+    from tensorflow_ocr_tpu.models.resnet import resnet_v1
+    import pytest as _pytest
+    import jax.numpy as jnp
+
+    with _pytest.raises(ValueError):
+        resnet_v1(50, output_stride=6).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
