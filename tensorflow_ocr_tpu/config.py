@@ -66,6 +66,13 @@ class ModelConfig:
     # backbones, and a large throughput win: BN stat/grad reductions are
     # the profiled majority of the train step (DESIGN.md).
     freeze_bn: bool = False
+    # ResNet bottleneck implementation: "xla" (default; fastest measured),
+    # "fused" (per-op Pallas custom-VJP path, ops/pallas_fused.py), or
+    # "ghost" (unit-fused ghost-BN kernels, ops/pallas_unit.py). The
+    # experimental paths are numerically validated but currently slower
+    # end-to-end than XLA's lowering (DESIGN.md round-2 investigation);
+    # env vars OCR_FUSED_BOTTLENECKS / OCR_GHOST_UNITS override.
+    bottleneck_impl: str = "xla"
 
 
 @dataclass

@@ -180,11 +180,27 @@ class FusedBottleneck(nn.Module):
                 and PF.supported((n, h, wd, db), (1, 1), depth)
                 and PF.supported(o_shape, (1, 1), depth))
 
+# Unit-fused ghost-BN path (ops/pallas_unit.py). Set by config
+# (ModelConfig.bottleneck_impl="ghost") or OCR_GHOST_UNITS=1.
+GHOST_BOTTLENECKS: bool = False
+
+
 def _ghost_enabled() -> bool:
     import os
 
-    return os.environ.get("OCR_GHOST_UNITS", "0") not in ("0", "false",
-                                                          "off")
+    env = os.environ.get("OCR_GHOST_UNITS")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    return GHOST_BOTTLENECKS
+
+
+def set_bottleneck_impl(impl: str) -> None:
+    """Select the ResNet bottleneck implementation: xla|fused|ghost."""
+    global FUSED_BOTTLENECKS, GHOST_BOTTLENECKS
+    if impl not in ("xla", "fused", "ghost"):
+        raise ValueError(f"unknown bottleneck_impl {impl!r}")
+    FUSED_BOTTLENECKS = impl == "fused"
+    GHOST_BOTTLENECKS = impl == "ghost"
 
 
 class GhostBottleneck(nn.Module):

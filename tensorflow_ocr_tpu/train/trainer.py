@@ -49,6 +49,10 @@ class TrainState(struct.PyTreeNode):
 
 def create_train_state(cfg: Config, rng: jax.Array,
                        sample_image: np.ndarray) -> Tuple[Any, TrainState, optax.GradientTransformation]:
+    if getattr(cfg.model, "bottleneck_impl", "xla") != "xla":
+        from tensorflow_ocr_tpu.models import resnet as resnet_mod
+
+        resnet_mod.set_bottleneck_impl(cfg.model.bottleneck_impl)
     model = build_model(cfg.model.name, text_scale=cfg.model.text_scale)
     tx = optim.make_optimizer(cfg.train, weight_decay=cfg.model.weight_decay)
 

@@ -123,3 +123,35 @@ def test_pick_gh_fits_and_divides():
     assert gh is not None and 128 % gh == 0
     assert PU.pick_gh(64, 64, 512, 128, 512) is not None
     assert PU.pick_gh(16, 16, 2048, 512, 2048) is None
+
+
+def test_ghost_module_eval_matches_standard_bottleneck():
+    """In eval mode BN is a constant affine, so GhostBottleneck and the
+    standard Bottleneck must agree on the same parameters/running stats
+    regardless of how training computed the statistics."""
+    from tensorflow_ocr_tpu.models.resnet import Bottleneck, GhostBottleneck
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 16, 16, 32) ** 2, jnp.float32)
+    std = Bottleneck(32, 8, stride=1)
+    ghost = GhostBottleneck(32, 8)
+    v = std.init(jax.random.PRNGKey(0), x, train=True)
+    # perturb running stats so the eval path is non-trivial
+    bs = jax.tree_util.tree_map(lambda a: a + 0.25, v["batch_stats"])
+    v = {"params": v["params"], "batch_stats": bs}
+    y_std = std.apply(v, x, train=False)
+    y_ghost = ghost.apply(v, x, train=False)
+    assert _rel(y_ghost, y_std) < 3e-2
+
+
+def test_ghost_module_train_updates_running_stats():
+    from tensorflow_ocr_tpu.models.resnet import GhostBottleneck
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 16, 16, 32) ** 2, jnp.bfloat16)
+    ghost = GhostBottleneck(32, 8)
+    v = ghost.init(jax.random.PRNGKey(0), x, train=True)
+    _, mut = ghost.apply(v, x, train=True, mutable=["batch_stats"])
+    old = jax.tree_util.tree_leaves(v["batch_stats"])
+    new = jax.tree_util.tree_leaves(mut["batch_stats"])
+    assert any(not np.allclose(a, b) for a, b in zip(old, new))
