@@ -109,7 +109,8 @@ def serve_throughput_main():
     import jax
     import numpy as np
 
-    run = pred._batch_fwd(imgs.shape[:3] if imgs.ndim == 4 else None)
+    # same cache key detect_batch used -> reuse the compiled executable
+    run = pred._batch_fwd(tuple(imgs.shape[1:]))
     x_dev = jax.device_put(imgs)
     out = run(pred.variables, x_dev)
     np.asarray(jax.tree_util.tree_leaves(out)[0])[:1]

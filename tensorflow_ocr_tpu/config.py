@@ -81,6 +81,10 @@ class LossConfig:
     # nets/model_vgg_16.py:196-225 dice, README.md mentions focal).
     name: str = "ohem"
     max_neg_pos_ratio: int = 3  # OHNM (reference nets/model.py:171)
+    # Hardest negatives selected on images with NO positive pixels. The
+    # reference selects none (model.py:169), so data.background_ratio
+    # crops contribute nothing under OHEM unless this is > 0.
+    bg_neg_budget: int = 0
     pixel_loss_weight: float = 2.0  # reference nets/model.py:261
     focal_alpha: float = 0.25
     focal_gamma: float = 2.0

@@ -41,8 +41,8 @@ class _IcdarSource:
                 f"n={len(self.files)})")
 
 
-def _prepare(cfg: DataConfig, want_east: bool, fn: str) -> icdar.Sample:
-    rng = np.random.RandomState(abs(hash(fn)) % (2**31))
+def _prepare(cfg: DataConfig, want_east: bool, fn: str,
+             rng: np.random.RandomState) -> icdar.Sample:
     s = icdar.prepare_sample(fn, cfg, rng, want_east=want_east)
     if s is None:
         # grain has no filter-in-map; emit an empty dummy matching shapes
@@ -95,9 +95,15 @@ def grain_loader(cfg: DataConfig, want_east: bool = False, seed: int = 0,
     """Returns a checkpointable iterator of collated batch dicts."""
     import grain.python as grain
 
-    class PrepareSample(grain.MapTransform):
-        def map(self, element):
-            s = _prepare(cfg, want_east, element)
+    class PrepareSample(grain.RandomMapTransform):
+        def random_map(self, element, rng):
+            # grain seeds `rng` from (seed, epoch, record) — augmentation
+            # and background-crop decisions are fresh draws every epoch
+            # yet replay exactly on checkpoint resume (a hash(fn) seed
+            # would pin each image's fate forever, and differently per
+            # interpreter launch)
+            rs = np.random.RandomState(int(rng.integers(0, 2**31)))
+            s = _prepare(cfg, want_east, element, rs)
             out = {
                 "images": s.image,
                 "polys": s.polys,

@@ -233,6 +233,17 @@ def extract_components(labels: jnp.ndarray, max_components: int = 128,
     v_min = jax.ops.segment_min(proj_v, comp_c, num_segments=num_seg)[:max_components]
     v_max = jax.ops.segment_max(proj_v, comp_c, num_segments=num_seg)[:max_components]
 
+    # Budget overflow (foreground > p, e.g. dense early-training maps)
+    # drops trailing pixels: a component with NO compacted pixels would
+    # get +/-inf segment sentinels yet still pass the size-based valid
+    # filter — gate on actually-compacted counts too.
+    comp_counts = jnp.bincount(comp_c, length=num_seg)[:max_components]
+    valid = valid & (comp_counts > 0)
+    u_min = jnp.where(jnp.isfinite(u_min), u_min, 0.0)
+    u_max = jnp.where(jnp.isfinite(u_max), u_max, 0.0)
+    v_min = jnp.where(jnp.isfinite(v_min), v_min, 0.0)
+    v_max = jnp.where(jnp.isfinite(v_max), v_max, 0.0)
+
     areas = (u_max - u_min) * (v_max - v_min)           # (K, A)
     k = jnp.argmin(areas, axis=1)                        # (K,)
     ck, sk = c[k], s[k]

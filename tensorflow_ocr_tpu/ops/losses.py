@@ -86,7 +86,8 @@ def _kth_smallest_threshold(scores, mask, k, iters: int = 32):
     return hi
 
 
-def ohnm_mask(neg_scores, pos_mask, neg_mask, max_neg_pos_ratio: int = 3):
+def ohnm_mask(neg_scores, pos_mask, neg_mask, max_neg_pos_ratio: int = 3,
+              bg_neg_budget: int = 0):
     """Per-image Online Hard Negative Mining mask (model.py:161-184).
 
     neg_scores: (N,) predicted probability of the NEGATIVE class — hard
@@ -94,13 +95,22 @@ def ohnm_mask(neg_scores, pos_mask, neg_mask, max_neg_pos_ratio: int = 3):
     reference's tf.top_k + `scores <= -threshold` (ties included,
     model.py:176-178), computed sort-free via value bisection.
     Returns float (N,) selected-negative mask.
+
+    The reference selects NOTHING when an image has no positives
+    (model.py:169 "if n_pos == 0, no negative samples will be selected"),
+    which makes `background_ratio` crops a no-op under OHEM.
+    ``bg_neg_budget > 0`` (off by default for parity) selects that many
+    hardest negatives on positive-free images so background crops train
+    as real negatives.
     """
     n_pos = jnp.sum(pos_mask.astype(jnp.int32))
     n_neg_avail = jnp.sum(neg_mask.astype(jnp.int32))
-    n_neg = jnp.minimum(n_pos * max_neg_pos_ratio, n_neg_avail)
+    want = jnp.where(n_pos > 0, n_pos * max_neg_pos_ratio,
+                     jnp.int32(bg_neg_budget))
+    n_neg = jnp.minimum(want, n_neg_avail)
     kth = _kth_smallest_threshold(neg_scores, neg_mask, n_neg)
     selected = neg_mask & (neg_scores <= kth) & (n_neg > 0)
-    return jnp.where(n_pos > 0, selected.astype(jnp.float32), 0.0)
+    return selected.astype(jnp.float32)
 
 
 def ohem_pixel_link_loss(
@@ -112,6 +122,7 @@ def ohem_pixel_link_loss(
     max_neg_pos_ratio: int = 3,
     pixel_loss_weight: float = 2.0,
     apply_training_mask: bool = True,
+    bg_neg_budget: int = 0,
 ):
     """Reference nets/model.py:204-261, vectorized. Returns (total, aux)."""
     b = pixel_logits.shape[0]
@@ -128,13 +139,19 @@ def ohem_pixel_link_loss(
     neg_mask = (labels == 0) & valid
 
     selected_neg = jax.vmap(
-        lambda s, p, n: ohnm_mask(s, p, n, max_neg_pos_ratio)
+        lambda s, p, n: ohnm_mask(s, p, n, max_neg_pos_ratio,
+                                  bg_neg_budget)
     )(neg_scores, pos_mask, neg_mask)
     w_pixel = pos_mask.astype(jnp.float32) + selected_neg  # (B, N)
 
     n_pos = jnp.sum(pos_mask.astype(jnp.float32))
+    # negatives selected on positive-free images (bg_neg_budget) widen
+    # the normalizer; zero when the budget is off (reference semantics)
+    has_pos = jnp.sum(pos_mask.astype(jnp.float32), axis=1) > 0  # (B,)
+    n_bg = jnp.sum(
+        jnp.where(has_pos[:, None], 0.0, selected_neg))
     ce = softmax_ce_with_logits(logits, labels)
-    pixel_loss = _safe_div(jnp.sum(ce * w_pixel), n_pos)
+    pixel_loss = _safe_div(jnp.sum(ce * w_pixel), n_pos + n_bg)
 
     # link loss, all 8 directions at once (model.py:238-254)
     link_lbl = link_labels.reshape(b, -1, 8).astype(jnp.int32)

@@ -92,7 +92,7 @@ def _matmul_rows(x2, w2, bm: int):
             pl.BlockSpec((c, co), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((bm, co), lambda i: (i, 0)),
-        interpret=_INTERPRET,
+        interpret=PC.interpret(),
     )(x2, w2)
 
 
@@ -119,7 +119,7 @@ def _dw_rows(x2, dy2, bm: int):
             pl.BlockSpec((bm, co), lambda i: (i, 0)),
         ],
         out_specs=pl.BlockSpec((c, co), lambda i: (0, 0)),
-        interpret=_INTERPRET,
+        interpret=PC.interpret(),
     )(x2, dy2)
 
 
@@ -164,7 +164,7 @@ def _conv3(xp, w2, th: int):
             pl.BlockSpec((9 * ci, co), lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, th, wd, co), lambda i, j: (i, j, 0, 0)),
-        interpret=_INTERPRET,
+        interpret=PC.interpret(),
     )(xp, w2)
 
 
@@ -206,7 +206,7 @@ def _dw3(xp, dy, th: int):
             pl.BlockSpec((1, th, wd, co), lambda i, j: (i, j, 0, 0)),
         ],
         out_specs=pl.BlockSpec((9 * ci, co), lambda i, j: (0, 0)),
-        interpret=_INTERPRET,
+        interpret=PC.interpret(),
     )(xp, dy)
     return out.reshape(3, 3, ci, co)
 

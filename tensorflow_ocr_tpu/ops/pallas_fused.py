@@ -39,12 +39,11 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-_INTERPRET = False
+from tensorflow_ocr_tpu.ops import pallas_common as PC
 
 
 def set_interpret(value: bool) -> None:
-    global _INTERPRET
-    _INTERPRET = bool(value)
+    PC.set_interpret(value)
 
 
 def pick_bm(m: int, ci: int, co: int) -> Optional[int]:
@@ -129,32 +128,14 @@ def _f1x1(x2, ab, w, bm: int):
             pl.BlockSpec((bm, co), lambda i: (i, 0)),
             pl.BlockSpec((2, co), lambda i: (0, 0)),
         ),
-        interpret=_INTERPRET,
+        interpret=PC.interpret(),
     )(x2, ab, w)
 
 
-def _taps(x, th: int, wd: int, ci: int):
-    """Nine (th*wd, ci) row-slice views of the (th+2, wd, ci) halo tile in
-    (ky, kx) row-major tap order. Only two shifted copies (left/right) are
-    materialized; the row slices are free."""
-    zcol = jnp.zeros((th + 2, 1, ci), x.dtype)
-    xl = jnp.concatenate([zcol, x[:, :-1, :]], axis=1)
-    xr = jnp.concatenate([x[:, 1:, :], zcol], axis=1)
-    out = []
-    for ky in range(3):
-        for xs in (xl, x, xr):
-            out.append(xs[ky:ky + th].reshape(th * wd, ci))
-    return out
+_taps = PC.taps
 
 
-def _tap_matmul(taps, w_ref, ci: int):
-    """Σ_k taps[k] @ w[k*ci:(k+1)*ci] accumulated on the MXU in f32."""
-    acc = None
-    for k, t in enumerate(taps):
-        part = jnp.dot(t, w_ref[k * ci:(k + 1) * ci],
-                       preferred_element_type=jnp.float32)
-        acc = part if acc is None else acc + part
-    return acc
+_tap_matmul = PC.tap_matmul
 
 
 def _f3x3_kernel(x_ref, ab_ref, w_ref, y_ref, s_ref, *, th, wd, ci, co):
@@ -193,7 +174,7 @@ def _f3x3(xp, ab, w2, th: int):
             pl.BlockSpec((1, th, wd, co), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((2, co), lambda i, j: (0, 0)),
         ),
-        interpret=_INTERPRET,
+        interpret=PC.interpret(),
     )(xp, ab, w2)
 
 
@@ -314,7 +295,7 @@ def _fused_conv1x1_bwd(bm, res, cts):
             pl.BlockSpec((2, ci), lambda i: (0, 0)),
             pl.BlockSpec((ci, co), lambda i: (0, 0)),
         ),
-        interpret=_INTERPRET,
+        interpret=PC.interpret(),
     )(x2, ab, dy2, y2, ds, wt)
     return dx2.reshape(x.shape), dab, dw.astype(w.dtype)
 
@@ -374,7 +355,7 @@ def _fused_conv3x3_bwd(th, res, cts):
             pl.BlockSpec((2, ci), lambda i, j: (0, 0)),
             pl.BlockSpec((9 * ci, co), lambda i, j: (0, 0)),
         ),
-        interpret=_INTERPRET,
+        interpret=PC.interpret(),
     )(xp, ab, dyp, yp, ds, wflip.astype(dy.dtype))
     return dx, dab, dw.astype(w2.dtype)
 
@@ -463,7 +444,7 @@ def fused_boundary(z, ab, zs, abs_):
             pl.BlockSpec((2, c), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((bm, c), lambda i: (i, 0)),
-        interpret=_INTERPRET,
+        interpret=PC.interpret(),
     )(z.reshape(m, c), ab, zs.reshape(m, c), abs_)
     return out.reshape(z.shape)
 
@@ -509,7 +490,7 @@ def _fused_boundary_bwd(res, g):
             pl.BlockSpec((2, c), lambda i: (0, 0)),
             pl.BlockSpec((2, c), lambda i: (0, 0)),
         ),
-        interpret=_INTERPRET,
+        interpret=PC.interpret(),
     )(g.reshape(m, c), z.reshape(m, c), ab, zs.reshape(m, c), abs_)
     return dz.reshape(z.shape), dab, dzs.reshape(zs.shape), dabs
 

@@ -44,12 +44,11 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-_INTERPRET = False
+from tensorflow_ocr_tpu.ops import pallas_common as PC
 
 
 def set_interpret(value: bool) -> None:
-    global _INTERPRET
-    _INTERPRET = bool(value)
+    PC.set_interpret(value)
 
 
 # --------------------------------------------------------------------------
@@ -73,26 +72,10 @@ def _affine_of(stats: jnp.ndarray, gb: jnp.ndarray, cnt: float,
     return a, gb[1] - mu * a
 
 
-def _taps(x, th: int, wd: int, c: int):
-    """Nine (th*wd, c) row-slice views of a (th+2, wd, c) tile in (ky, kx)
-    row-major tap order; only the two column-shifted copies materialize."""
-    zcol = jnp.zeros((x.shape[0], 1, c), x.dtype)
-    xl = jnp.concatenate([zcol, x[:, :-1, :]], axis=1)
-    xr = jnp.concatenate([x[:, 1:, :], zcol], axis=1)
-    out = []
-    for ky in range(3):
-        for xs in (xl, x, xr):
-            out.append(xs[ky:ky + th].reshape(th * wd, c))
-    return out
+_taps = PC.taps
 
 
-def _tap_matmul(taps, w, c: int):
-    acc = None
-    for k, t in enumerate(taps):
-        part = jnp.dot(t, w[k * c:(k + 1) * c],
-                       preferred_element_type=jnp.float32)
-        acc = part if acc is None else acc + part
-    return acc
+_tap_matmul = PC.tap_matmul
 
 
 def _zero_edge_rows(x, n_edge: int, jb, nb):
@@ -323,7 +306,7 @@ def _unit_fwd(op2, w1, gb1, w2, gb2, w3, gb3, ws, gbs, gh: int,
         grid=(n, nb),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
-        interpret=_INTERPRET,
+        interpret=PC.interpret(),
     )(*args)
     if g.proj:
         out, s1, s2, s3, ss = res
@@ -694,7 +677,7 @@ def _unit_bwd(op2, dout, w1, gb1, w2, gb2, w3, gb3, ws, gbs, gh: int,
     res1 = pl.pallas_call(
         k1, out_shape=tuple(out_shapes), grid=(n, nb),
         in_specs=in_specs, out_specs=tuple(out_specs),
-        interpret=_INTERPRET,
+        interpret=PC.interpret(),
     )(*args)
     if g.proj:
         t1, t2, t3, ts, dw2, dgb2, dw3, dgb3, dws, dgbs = res1
@@ -727,7 +710,7 @@ def _unit_bwd(op2, dout, w1, gb1, w2, gb2, w3, gb3, ws, gbs, gh: int,
             pl.BlockSpec((1, gh, wd, ci), lambda i, j: (i, j, 0, 0)),
             _wspec(ci, db), _rep(db),
         ),
-        interpret=_INTERPRET,
+        interpret=PC.interpret(),
     )(*args)
     do, dw1, dgb1 = res2
     out = (do, dw1, dgb1, dw2, dgb2, dw3, dgb3)

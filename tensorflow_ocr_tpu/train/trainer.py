@@ -49,10 +49,12 @@ class TrainState(struct.PyTreeNode):
 
 def create_train_state(cfg: Config, rng: jax.Array,
                        sample_image: np.ndarray) -> Tuple[Any, TrainState, optax.GradientTransformation]:
-    if getattr(cfg.model, "bottleneck_impl", "xla") != "xla":
-        from tensorflow_ocr_tpu.models import resnet as resnet_mod
+    from tensorflow_ocr_tpu.models import resnet as resnet_mod
 
-        resnet_mod.set_bottleneck_impl(cfg.model.bottleneck_impl)
+    # always apply (including "xla") so a prior in-process selection of
+    # the fused/ghost paths cannot leak into this trainer
+    resnet_mod.set_bottleneck_impl(
+        getattr(cfg.model, "bottleneck_impl", "xla"))
     model = build_model(cfg.model.name, text_scale=cfg.model.text_scale)
     tx = optim.make_optimizer(cfg.train, weight_decay=cfg.model.weight_decay)
 
@@ -120,6 +122,7 @@ def make_loss_fn(cfg: Config) -> Callable:
                     outputs["link_logits"], mask,
                     max_neg_pos_ratio=lcfg.max_neg_pos_ratio,
                     pixel_loss_weight=lcfg.pixel_loss_weight,
+                    bg_neg_budget=getattr(lcfg, "bg_neg_budget", 0),
                 )
             if lcfg.name == "dice":
                 pixel_probs = jax.nn.softmax(
@@ -722,11 +725,11 @@ class Trainer:
                 )
 
                 stride = model_output_stride(self.cfg.model.name)
-                hw = img.shape[1] // stride
                 s, _, _ = jax.jit(
                     partial(
                         label_ops.pixellink_labels_stride,
-                        out_height=hw, out_width=hw, stride=stride,
+                        out_height=img.shape[1] // stride,
+                        out_width=img.shape[2] // stride, stride=stride,
                         min_text_size=self.cfg.data.min_text_size,
                     )
                 )(

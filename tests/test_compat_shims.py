@@ -98,19 +98,20 @@ def test_tool_data_util_enqueuer():
 
 
 def test_tool_data_util_enqueuer_factory_parallel():
-    """Factory form: each worker gets its own reseeded generator stream
-    (reference data_util.py:62-81 fork-per-worker semantics)."""
+    """Factory form: each worker gets its own PRIVATE RandomState stream
+    (reference data_util.py:62-81 forks per worker; threads must not
+    race on or clobber the process-global numpy RNG)."""
     import threading
+
+    import numpy as np
 
     from tool.data_util import GeneratorEnqueuer
 
     seen_seeds = []
     lock = threading.Lock()
 
-    def factory():
-        import numpy as np
-
-        seed = int(np.random.randint(0, 1 << 30))
+    def factory(rng):
+        seed = int(rng.randint(0, 1 << 30))
         with lock:
             seen_seeds.append(seed)
 
@@ -120,13 +121,26 @@ def test_tool_data_util_enqueuer_factory_parallel():
 
         return gen()
 
+    np.random.seed(123)
+    before = np.random.randint(0, 1 << 30)
+    np.random.seed(123)
     e = GeneratorEnqueuer(factory, random_seed=7)
     e.start(workers=3, max_queue_size=8)
     vals = {e.get_one() for _ in range(12)}
     e.stop()
-    # three independent streams with distinct derived seeds
-    assert len(seen_seeds) == 3 and len(set(seen_seeds)) == 3
+    # three independent streams with deterministic distinct derived seeds
+    assert sorted(seen_seeds) == sorted(
+        int(np.random.RandomState(7 + i).randint(0, 1 << 30))
+        for i in range(3))
     assert vals <= set(seen_seeds)
+    # the process-global RNG was not touched by the workers
+    assert np.random.randint(0, 1 << 30) == before
+
+    # a zero-arg factory still works (no reseeding applied)
+    e2 = GeneratorEnqueuer(lambda: iter([1, 2, 3]), random_seed=7)
+    e2.start(workers=1, max_queue_size=4)
+    assert e2.get_one() in (1, 2, 3)
+    e2.stop()
 
 
 def test_tool_metrics_and_math():

@@ -213,3 +213,31 @@ def test_locality_aware_nms_merges_row_neighbors():
     assert len(out) == 2  # 3 merged into 1, plus the far one
     merged = out[np.argmax(out[:, 8])]
     assert merged[8] == pytest.approx(2.7)  # scores summed on merge
+
+
+def test_extract_components_budget_overflow_stays_finite():
+    """When foreground exceeds the compaction budget, components whose
+    pixels were all dropped must be invalidated instead of emitting
+    +/-inf segment sentinels as box coordinates."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tensorflow_ocr_tpu.ops.decode import (
+        connected_components, extract_components, link_adjacency,
+    )
+
+    # dense foreground: everything is one big component + a distant blob
+    mask = np.ones((16, 16), bool)
+    mask[:, 7] = False
+    mask[12:, :] = False
+    mask[14:, 12:] = True                             # trailing blob
+    links = jnp.ones((16, 16, 8), jnp.float32)
+    edges = link_adjacency(jnp.asarray(mask), links, 0.5)
+    labels = connected_components(edges, jnp.asarray(mask))
+    boxes, sizes, valid = extract_components(
+        labels, max_components=8, min_size=1, max_pixels=32)
+    boxes = np.asarray(boxes)
+    valid = np.asarray(valid)
+    assert np.all(np.isfinite(boxes))
+    # every surviving component has finite, sane coordinates
+    for k in np.where(valid)[0]:
+        assert np.all(np.abs(boxes[k]) <= 32)

@@ -204,3 +204,28 @@ def test_east_loss_iou_value():
     )
     want = -np.log((16 + 1) / (24 + 1))
     assert float(aux["geo_loss"]) == pytest.approx(want, rel=1e-4)
+
+
+def test_ohem_bg_neg_budget():
+    """Reference parity: an image with NO positives contributes nothing
+    (model.py:169); bg_neg_budget>0 opts background crops into training
+    as hard negatives."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tensorflow_ocr_tpu.ops.losses import ohem_pixel_link_loss
+
+    rng = np.random.RandomState(0)
+    b, h, w = 2, 8, 8
+    labels = jnp.zeros((b, h, w), jnp.int32)          # all background
+    pixel_logits = jnp.asarray(rng.randn(b, h, w, 2), jnp.float32)
+    link_labels = jnp.zeros((b, h, w, 8), jnp.int32)
+    link_logits = jnp.asarray(rng.randn(b, h, w, 16), jnp.float32)
+
+    total0, aux0 = ohem_pixel_link_loss(
+        labels, pixel_logits, link_labels, link_logits, None)
+    assert float(aux0["pixel_loss"]) == 0.0          # reference semantics
+
+    total1, aux1 = ohem_pixel_link_loss(
+        labels, pixel_logits, link_labels, link_logits, None,
+        bg_neg_budget=16)
+    assert float(aux1["pixel_loss"]) > 0.0           # negatives now train

@@ -45,11 +45,21 @@ class GeneratorEnqueuer:
 
         def task(worker_index: int):
             if self._factory is not None:
-                # per-worker stream: reseed then build an independent
-                # generator (reference data_util.py:69-77 semantics)
+                # Per-worker stream (reference data_util.py:69-77 forks a
+                # process and reseeds the fork's global RNG). Workers here
+                # are threads sharing one process-global numpy RNG, so
+                # reseeding it would race across workers and clobber the
+                # main thread's stream; instead hand each worker a private
+                # RandomState when the factory accepts one.
                 if self.random_seed is not None:
-                    np.random.seed(self.random_seed + worker_index)
-                gen = self._factory()
+                    rng = np.random.RandomState(
+                        self.random_seed + worker_index)
+                    try:
+                        gen = self._factory(rng)
+                    except TypeError:
+                        gen = self._factory()
+                else:
+                    gen = self._factory()
                 lock = None
             else:
                 gen = self._generator
