@@ -29,6 +29,15 @@ def main():
     ap.add_argument("--val-images", type=int, default=16)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--pretrain-steps", type=int, default=0,
+                    help="first train this many steps on an EASY synthetic "
+                         "set and warm-start the hard training from that "
+                         "checkpoint (validates the reference's "
+                         "pretrained->fine-tune workflow end to end)")
+    ap.add_argument("--freeze-bn", action="store_true",
+                    help="freeze BN statistics during the hard training "
+                         "(the documented fine-tune recipe; pairs with "
+                         "--pretrain-steps)")
     args = ap.parse_args()
 
     from tensorflow_ocr_tpu.config import Config
@@ -44,20 +53,45 @@ def main():
     make_synthetic_dataset(val_dir, args.val_images, (512, 512),
                            seed=1, hard=True)
 
-    cfg = Config()
-    cfg.model.name = args.model
-    cfg.loss.name = "east" if args.model.startswith("east") else "ohem"
-    cfg.data.training_data_path = train_dir
-    cfg.data.input_size = 512
-    cfg.data.batch_size = args.batch
-    cfg.data.max_polys = 16
-    cfg.data.min_text_size = 5
-    cfg.train.scan_steps = 25
-    cfg.train.max_steps = args.steps
-    cfg.train.learning_rate = args.lr
-    cfg.train.save_checkpoint_steps = 0
+    def base_cfg():
+        cfg = Config()
+        cfg.model.name = args.model
+        cfg.loss.name = "east" if args.model.startswith("east") else "ohem"
+        cfg.data.input_size = 512
+        cfg.data.batch_size = args.batch
+        cfg.data.max_polys = 16
+        cfg.data.min_text_size = 5
+        cfg.train.scan_steps = 25
+        cfg.train.learning_rate = args.lr
+        cfg.train.save_checkpoint_steps = 0
+        return cfg
 
     mesh = make_mesh()
+
+    pretrain_ckpt = None
+    if args.pretrain_steps > 0:
+        easy_dir = "/tmp/holdout_pretrain"
+        pretrain_ckpt = "/tmp/holdout_pretrain_ckpt/"
+        make_synthetic_dataset(easy_dir, args.train_images, (512, 512),
+                               seed=2, hard=False)
+        pcfg = base_cfg()
+        pcfg.data.training_data_path = easy_dir
+        pcfg.train.max_steps = args.pretrain_steps
+        pcfg.train.checkpoint_path = pretrain_ckpt
+        ptr = T.Trainer(pcfg, mesh)
+        t0 = time.time()
+        pm = ptr.run_device_cached()
+        print(f"pretrained {args.pretrain_steps} steps on easy scenes in "
+              f"{time.time() - t0:.1f}s; loss {pm.get('total_loss'):.3f}")
+        T.save_checkpoint(pretrain_ckpt, ptr.state)
+
+    cfg = base_cfg()
+    cfg.data.training_data_path = train_dir
+    cfg.train.max_steps = args.steps
+    cfg.model.freeze_bn = args.freeze_bn
+    if pretrain_ckpt:
+        cfg.train.pretrained_model_path = pretrain_ckpt
+
     tr = T.Trainer(cfg, mesh)
     t0 = time.time()
     metrics = tr.run_device_cached()

@@ -577,7 +577,12 @@ class Trainer:
                 ck = latest_checkpoint(tcfg.pretrained_model_path) or tcfg.pretrained_model_path
                 pre = restore_checkpoint(ck, self.state)
                 merged, n = warm_start(self.state.params, pre.params)
-                self.state = self.state.replace(params=merged)
+                # running BN statistics come along too — freeze_bn
+                # fine-tuning normalizes with them (the reference's slim
+                # restore carried moving_mean/variance the same way)
+                bs = pre.batch_stats if pre.batch_stats else self.state.batch_stats
+                self.state = self.state.replace(params=merged,
+                                                batch_stats=bs)
             print(f"warm-started {n} tensors from {tcfg.pretrained_model_path}")
         self._step_fn = make_train_step(self.model, self.tx, self.cfg, self.mesh)
         # replicate state across the mesh
