@@ -221,16 +221,42 @@ def main():
 
     imgs_per_sec = steps * batch_size / dt
     per_chip = imgs_per_sec / n_chips
-    print(
-        json.dumps(
-            {
-                "metric": "train_images_per_sec_per_chip_512",
-                "value": round(per_chip, 2),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(per_chip / 2000.0, 4),
-            }
+
+    # secondary: the validated frozen-BN fine-tune recipe (warm-start ->
+    # freeze_bn; BASELINE.md "Warm-start -> frozen-BN fine-tune"). Skip
+    # with BENCH_SKIP_FROZEN=1 to halve bench wall time.
+    frozen_per_chip = None
+    if os.environ.get("BENCH_SKIP_FROZEN", "0") in ("0", "", "false"):
+        cfg.model.freeze_bn = True
+        tr2 = T.Trainer(cfg, mesh)
+        tr2.setup(sample)
+        multi2 = T.make_multi_train_step(
+            tr2.model, tr2.tx, cfg, mesh,
+            extra_keys=tuple(ds.labels.keys()),
         )
-    )
+        state2 = tr2.state
+
+        def dispatch2(state2):
+            idx = ds.index_batches(batch_size, scan_steps, rng)
+            return multi2(state2, ds_dev, jax.device_put(idx, idx_sh))
+
+        state2, m2 = dispatch2(state2)
+        assert np.isfinite(float(m2["total_loss"]))
+        t0 = time.time()
+        for _ in range(n_dispatch):
+            state2, m2 = dispatch2(state2)
+        _ = float(m2["total_loss"])
+        frozen_per_chip = steps * batch_size / (time.time() - t0) / n_chips
+
+    out = {
+        "metric": "train_images_per_sec_per_chip_512",
+        "value": round(per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / 2000.0, 4),
+    }
+    if frozen_per_chip is not None:
+        out["value_freeze_bn_finetune"] = round(frozen_per_chip, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
