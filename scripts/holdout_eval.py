@@ -38,6 +38,11 @@ def main():
                     help="freeze BN statistics during the hard training "
                          "(the documented fine-tune recipe; pairs with "
                          "--pretrain-steps)")
+    ap.add_argument("--augment", action="store_true",
+                    help="train through the host pipeline with crop/"
+                         "rotate/scale augmentation (the reference's "
+                         "standard path) instead of the device-cached "
+                         "loop")
     args = ap.parse_args()
 
     from tensorflow_ocr_tpu.config import Config
@@ -94,7 +99,29 @@ def main():
 
     tr = T.Trainer(cfg, mesh)
     t0 = time.time()
-    metrics = tr.run_device_cached()
+    if args.augment:
+        from tensorflow_ocr_tpu.data.pipeline import PrefetchLoader
+
+        cfg.data.use_crop = True
+        cfg.data.use_rotate = True
+        cfg.data.use_random_scale = True
+        want_east = cfg.model.name.startswith("east")
+        loader = PrefetchLoader(cfg.data, want_east=want_east,
+                                seed=cfg.train.seed)
+        first = next(loader)
+        tr.setup(first)
+
+        def batches():
+            yield first
+            while True:
+                yield next(loader)
+
+        try:
+            metrics = tr.run(batches(), max_steps=args.steps)
+        finally:
+            loader.stop()
+    else:
+        metrics = tr.run_device_cached()
     dt = time.time() - t0
     print(f"trained {args.steps} steps in {dt:.1f}s "
           f"({args.steps * args.batch / dt:.0f} img/s); {metrics}")
