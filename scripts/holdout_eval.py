@@ -43,6 +43,11 @@ def main():
                          "rotate/scale augmentation (the reference's "
                          "standard path) instead of the device-cached "
                          "loop")
+    ap.add_argument("--sweep-thresholds", action="store_true",
+                    help="after training, sweep decode (pixel, link) "
+                         "thresholds on the held-out set (single compile: "
+                         "thresholds are traced args) and report the best "
+                         "operating point")
     args = ap.parse_args()
 
     from tensorflow_ocr_tpu.config import Config
@@ -137,6 +142,25 @@ def main():
     print(f"TRAIN (seen, 16 imgs):                  "
           f"P={train.get('precision', 0):.3f} "
           f"R={train.get('recall', 0):.3f} F={train.get('fmean', 0):.3f}")
+
+    if args.sweep_thresholds and not args.model.startswith("east"):
+        best = (val.get("fmean", 0.0),
+                cfg.infer.pixel_conf_threshold,
+                cfg.infer.link_conf_threshold, val)
+        for pt in (0.5, 0.6, 0.7, 0.8, 0.9):
+            for lt in (0.5, 0.7, 0.8, 0.9):
+                r = val_hook(tr.model, tr.state, use_ema=True,
+                             pixel_thresh=pt, link_thresh=lt)
+                f = r.get("fmean", 0.0)
+                print(f"  sweep pixel={pt:.1f} link={lt:.1f}: "
+                      f"P={r.get('precision', 0):.3f} "
+                      f"R={r.get('recall', 0):.3f} F={f:.3f}")
+                if f > best[0]:
+                    best = (f, pt, lt, r)
+        f, pt, lt, r = best
+        print(f"BEST thresholds: pixel={pt} link={lt} -> "
+              f"P={r.get('precision', 0):.3f} R={r.get('recall', 0):.3f} "
+              f"F={f:.3f}")
 
 
 if __name__ == "__main__":

@@ -163,7 +163,7 @@ def connected_components(edges: jnp.ndarray, pixel_mask: jnp.ndarray,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_components", "min_size", "num_angles", "max_pixels"),
+    static_argnames=("max_components", "num_angles", "max_pixels"),
 )
 def extract_components(labels: jnp.ndarray, max_components: int = 128,
                        min_size: int = 10, num_angles: int = 90,
@@ -273,8 +273,10 @@ def _use_pallas_cc() -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pixel_thresh", "link_thresh", "min_size",
-                     "max_components", "num_angles", "use_pallas"),
+    # thresholds and min_size are TRACED (values change without a
+    # recompile -> one-compile threshold calibration, per-request
+    # thresholds in serving); only structural params are static.
+    static_argnames=("max_components", "num_angles", "use_pallas"),
 )
 def pixellink_decode(pixel_scores: jnp.ndarray, link_scores: jnp.ndarray,
                      pixel_thresh: float = 0.8, link_thresh: float = 0.9,
@@ -306,7 +308,7 @@ def pixellink_decode(pixel_scores: jnp.ndarray, link_scores: jnp.ndarray,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("score_thresh", "max_boxes")
+    jax.jit, static_argnames=("max_boxes",)
 )
 def east_detect(score_map: jnp.ndarray, geo_map: jnp.ndarray,
                 score_thresh: float = 0.8, max_boxes: int = 2048):

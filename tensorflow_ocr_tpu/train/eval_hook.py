@@ -64,8 +64,10 @@ class EvalDuringTraining:
                                          score_thresh=icfg.score_map_thresh)
                 return jax.vmap(one)(out["score"], out["geometry"])
         else:
+            # thresholds are TRACED args: one compile serves any values
+            # (used by the post-training threshold sweep)
             @jax.jit
-            def run(variables, images):
+            def run(variables, images, pixel_thresh, link_thresh):
                 out = model.apply(variables, images)
 
                 def one(pl, ll):
@@ -73,15 +75,17 @@ class EvalDuringTraining:
                     ls = link_scores_from_logits(ll)
                     return D.pixellink_decode(
                         ps, ls,
-                        pixel_thresh=icfg.pixel_conf_threshold,
-                        link_thresh=icfg.link_conf_threshold,
+                        pixel_thresh=pixel_thresh,
+                        link_thresh=link_thresh,
                         min_size=icfg.min_component_size,
                         max_components=icfg.max_components,
                     )
                 return jax.vmap(one)(out["pixel_logits"], out["link_logits"])
         return run
 
-    def __call__(self, model, state, use_ema: bool = True) -> Dict[str, float]:
+    def __call__(self, model, state, use_ema: bool = True,
+                 pixel_thresh: float | None = None,
+                 link_thresh: float | None = None) -> Dict[str, float]:
         if self.images is None:
             return {}
         if self._run is None:
@@ -104,7 +108,14 @@ class EvalDuringTraining:
                 ).reshape(-1, 4, 2)
                 prf.update(boxes, np.ones(len(boxes)), gt, ignored)
         else:
-            raw, sizes, valid = map(np.asarray, self._run(variables, x))
+            icfg = self.cfg.infer
+            pt = (icfg.pixel_conf_threshold if pixel_thresh is None
+                  else pixel_thresh)
+            lt = (icfg.link_conf_threshold if link_thresh is None
+                  else link_thresh)
+            raw, sizes, valid = map(
+                np.asarray,
+                self._run(variables, x, jnp.float32(pt), jnp.float32(lt)))
             from tensorflow_ocr_tpu.models.detector import model_output_stride
 
             stride = float(model_output_stride(self.cfg.model.name))
