@@ -43,6 +43,10 @@ def main():
                          "rotate/scale augmentation (the reference's "
                          "standard path) instead of the device-cached "
                          "loop")
+    ap.add_argument("--min-size", type=int, default=None,
+                    help="override infer.min_component_size (decode "
+                         "keeps components larger than this many "
+                         "stride-resolution pixels)")
     ap.add_argument("--sweep-thresholds", action="store_true",
                     help="after training, sweep decode (pixel, link) "
                          "thresholds on the held-out set (single compile: "
@@ -74,6 +78,8 @@ def main():
         cfg.train.scan_steps = 25
         cfg.train.learning_rate = args.lr
         cfg.train.save_checkpoint_steps = 0
+        if args.min_size is not None:
+            cfg.infer.min_component_size = args.min_size
         return cfg
 
     mesh = make_mesh()
