@@ -38,6 +38,20 @@ def link_scores_from_logits(link_logits: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.softmax(link_logits.reshape(h, w, 8, 2), axis=-1)[..., 1]
 
 
+def pixel_link_scores(out):
+    """Batched (pixel_scores, link_scores) for either PixelLink output
+    schema: logits (pixel_logits 2ch + link_logits 16ch) or the link8
+    family's sigmoid probabilities (score 1ch + link_probs 8ch,
+    reference nets/model_vgg_16.py:129-136)."""
+    if "pixel_logits" in out:
+        pl, ll = out["pixel_logits"], out["link_logits"]
+        ps = jax.nn.softmax(pl, axis=-1)[..., 1]
+        ls = jax.nn.softmax(
+            ll.reshape(ll.shape[:-1] + (8, 2)), axis=-1)[..., 1]
+        return ps, ls
+    return out["score"][..., 0], out["link_probs"]
+
+
 class Predictor:
     """Restores EMA weights (test.py:149-150 semantics) and runs detect."""
 
@@ -83,10 +97,9 @@ class Predictor:
                 @partial(jax.jit)
                 def run(variables, image):
                     out = self.model.apply(variables, image)
-                    ps = pixel_scores_from_logits(out["pixel_logits"][0])
-                    ls = link_scores_from_logits(out["link_logits"][0])
+                    ps, ls = pixel_link_scores(out)
                     return D.pixellink_decode(
-                        ps, ls,
+                        ps[0], ls[0],
                         pixel_thresh=icfg.pixel_conf_threshold,
                         link_thresh=icfg.link_conf_threshold,
                         min_size=icfg.min_component_size,
@@ -115,10 +128,9 @@ class Predictor:
                 @jax.jit
                 def run(variables, images):
                     out = self.model.apply(variables, images)
+                    ps_all, ls_all = pixel_link_scores(out)
 
-                    def one(pl, ll):
-                        ps = pixel_scores_from_logits(pl)
-                        ls = link_scores_from_logits(ll)
+                    def one(ps, ls):
                         return D.pixellink_decode(
                             ps, ls,
                             pixel_thresh=icfg.pixel_conf_threshold,
@@ -126,9 +138,7 @@ class Predictor:
                             min_size=icfg.min_component_size,
                             max_components=icfg.max_components,
                         )
-                    return jax.vmap(one)(
-                        out["pixel_logits"], out["link_logits"]
-                    )
+                    return jax.vmap(one)(ps_all, ls_all)
             self._fwd_cache[key] = run
         return self._fwd_cache[key]
 

@@ -18,10 +18,7 @@ import jax.numpy as jnp
 from tensorflow_ocr_tpu.config import Config
 from tensorflow_ocr_tpu.data import icdar
 from tensorflow_ocr_tpu.eval.metrics import StreamingPRF
-from tensorflow_ocr_tpu.infer import (
-    link_scores_from_logits,
-    pixel_scores_from_logits,
-)
+from tensorflow_ocr_tpu.infer import pixel_link_scores
 from tensorflow_ocr_tpu.ops import decode as D
 from tensorflow_ocr_tpu.utils import nms as N
 
@@ -69,10 +66,10 @@ class EvalDuringTraining:
             @jax.jit
             def run(variables, images, pixel_thresh, link_thresh):
                 out = model.apply(variables, images)
+                # handles both the logits schema and link8's sigmoid probs
+                ps_all, ls_all = pixel_link_scores(out)
 
-                def one(pl, ll):
-                    ps = pixel_scores_from_logits(pl)
-                    ls = link_scores_from_logits(ll)
+                def one(ps, ls):
                     return D.pixellink_decode(
                         ps, ls,
                         pixel_thresh=pixel_thresh,
@@ -80,7 +77,7 @@ class EvalDuringTraining:
                         min_size=icfg.min_component_size,
                         max_components=icfg.max_components,
                     )
-                return jax.vmap(one)(out["pixel_logits"], out["link_logits"])
+                return jax.vmap(one)(ps_all, ls_all)
         return run
 
     def __call__(self, model, state, use_ema: bool = True,

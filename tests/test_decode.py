@@ -241,3 +241,31 @@ def test_extract_components_budget_overflow_stays_finite():
     # every surviving component has finite, sane coordinates
     for k in np.where(valid)[0]:
         assert np.all(np.abs(boxes[k]) <= 32)
+
+
+def test_pixellink_decode_fuzz_no_nonfinite():
+    """Property: decode never emits non-finite box coordinates or
+    negative sizes, across random dense/sparse score maps and threshold
+    values (thresholds are traced, so this also covers the dynamic-
+    threshold path with a single compile)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tensorflow_ocr_tpu.ops.decode import pixellink_decode
+
+    rng = np.random.RandomState(7)
+    for trial in range(6):
+        h, w = 32, 48
+        density = rng.choice([0.05, 0.3, 0.9])
+        ps = jnp.asarray(
+            (rng.rand(h, w) < density) * rng.rand(h, w), jnp.float32)
+        ls = jnp.asarray(rng.rand(h, w, 8), jnp.float32)
+        pt = float(rng.choice([0.1, 0.5, 0.8]))
+        lt = float(rng.choice([0.3, 0.9]))
+        boxes, sizes, valid = pixellink_decode(
+            ps, ls, pt, lt, min_size=int(rng.choice([1, 10])),
+            max_components=32)
+        boxes = np.asarray(boxes)
+        sizes = np.asarray(sizes)
+        assert np.all(np.isfinite(boxes)), trial
+        assert np.all(sizes >= 0), trial
+        assert np.asarray(valid).dtype == np.bool_
