@@ -16,6 +16,8 @@ import sys
 import tempfile
 import time
 
+_T0 = time.time()
+
 
 def detect_latency_main():
     """BENCH_MODE=detect: p50 single-image detect latency (ms) at the
@@ -224,29 +226,38 @@ def main():
 
     # secondary: the validated frozen-BN fine-tune recipe (warm-start ->
     # freeze_bn; BASELINE.md "Warm-start -> frozen-BN fine-tune"). Skip
-    # with BENCH_SKIP_FROZEN=1 to halve bench wall time.
+    # with BENCH_SKIP_FROZEN=1 to halve bench wall time; also skipped
+    # automatically when the primary phase already ate the time budget
+    # (slow tunnel compiles must never cost the primary metric).
     frozen_per_chip = None
-    if os.environ.get("BENCH_SKIP_FROZEN", "0") in ("0", "", "false"):
-        cfg.model.freeze_bn = True
-        tr2 = T.Trainer(cfg, mesh)
-        tr2.setup(sample)
-        multi2 = T.make_multi_train_step(
-            tr2.model, tr2.tx, cfg, mesh,
-            extra_keys=tuple(ds.labels.keys()),
-        )
-        state2 = tr2.state
+    elapsed = time.time() - _T0
+    if (os.environ.get("BENCH_SKIP_FROZEN", "0") in ("0", "", "false")
+            and elapsed < float(os.environ.get("BENCH_FROZEN_BUDGET_S",
+                                               "360"))):
+        try:
+            cfg.model.freeze_bn = True
+            tr2 = T.Trainer(cfg, mesh)
+            tr2.setup(sample)
+            multi2 = T.make_multi_train_step(
+                tr2.model, tr2.tx, cfg, mesh,
+                extra_keys=tuple(ds.labels.keys()),
+            )
+            state2 = tr2.state
 
-        def dispatch2(state2):
-            idx = ds.index_batches(batch_size, scan_steps, rng)
-            return multi2(state2, ds_dev, jax.device_put(idx, idx_sh))
+            def dispatch2(state2):
+                idx = ds.index_batches(batch_size, scan_steps, rng)
+                return multi2(state2, ds_dev, jax.device_put(idx, idx_sh))
 
-        state2, m2 = dispatch2(state2)
-        assert np.isfinite(float(m2["total_loss"]))
-        t0 = time.time()
-        for _ in range(n_dispatch):
             state2, m2 = dispatch2(state2)
-        _ = float(m2["total_loss"])
-        frozen_per_chip = steps * batch_size / (time.time() - t0) / n_chips
+            assert np.isfinite(float(m2["total_loss"]))
+            t0 = time.time()
+            for _ in range(n_dispatch):
+                state2, m2 = dispatch2(state2)
+            _ = float(m2["total_loss"])
+            frozen_per_chip = (steps * batch_size / (time.time() - t0)
+                               / n_chips)
+        except Exception as e:  # secondary metric must not cost the run
+            print(f"frozen-BN phase skipped: {e}", file=sys.stderr)
 
     out = {
         "metric": "train_images_per_sec_per_chip_512",
