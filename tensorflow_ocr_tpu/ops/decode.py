@@ -235,10 +235,14 @@ def extract_components(labels: jnp.ndarray, max_components: int = 128,
 
     # Budget overflow (foreground > p, e.g. dense early-training maps)
     # drops trailing pixels: a component with NO compacted pixels would
-    # get +/-inf segment sentinels yet still pass the size-based valid
-    # filter — gate on actually-compacted counts too.
+    # get +/-inf segment sentinels, and a PARTIALLY compacted one would get
+    # a box fit to an arbitrary raster-order prefix of its pixels —
+    # silently distorted coordinates. Only fully-compacted components
+    # (comp_counts == top_sizes, always true when the foreground fits the
+    # budget) keep valid=True; callers seeing everything invalidated on a
+    # dense map can re-run with a larger ``max_pixels``.
     comp_counts = jnp.bincount(comp_c, length=num_seg)[:max_components]
-    valid = valid & (comp_counts > 0)
+    valid = valid & (comp_counts == top_sizes)
     u_min = jnp.where(jnp.isfinite(u_min), u_min, 0.0)
     u_max = jnp.where(jnp.isfinite(u_max), u_max, 0.0)
     v_min = jnp.where(jnp.isfinite(v_min), v_min, 0.0)

@@ -40,15 +40,13 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-# Flipped on by models.layers when the backend is TPU (or forced in
-# tests via interpret mode).
-_INTERPRET = False
+from tensorflow_ocr_tpu.ops import pallas_common as PC
 
 
 def set_interpret(value: bool) -> None:
-    """Run kernels in interpreter mode (CPU tests)."""
-    global _INTERPRET
-    _INTERPRET = bool(value)
+    """Run kernels in interpreter mode (CPU tests); delegates to
+    pallas_common so all Pallas modules share the one toggle."""
+    PC.set_interpret(value)
 
 
 def _pick_bm(m: int, c: int, co: int) -> Optional[int]:

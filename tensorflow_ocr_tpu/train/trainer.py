@@ -18,6 +18,7 @@ TPU-native rebuild of /root/reference/multigpu_train.py:
 
 from __future__ import annotations
 
+import logging
 import os
 import time
 from functools import partial
@@ -749,5 +750,7 @@ class Trainer:
                 gt_score=gt_score,
                 pred_score=np.asarray(pred),
             )
-        except Exception:
-            pass  # observability must never take down training
+        except Exception as e:  # observability must never take down training
+            logging.getLogger(__name__).warning(
+                "image summaries failed at step %d: %s: %s",
+                step, type(e).__name__, e)

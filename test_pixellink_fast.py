@@ -64,7 +64,9 @@ def main(argv):
             continue
         h0, w0 = im_bgr.shape[:2]
         im = cv2.resize(im_bgr, (width, height))[:, :, ::-1]
-        x = jnp.asarray(im[None].astype(np.float32))
+        # uint8 on the wire (4x fewer transfer bytes at 1280x768, where
+        # the host->device copy dominates); the model casts on device.
+        x = jnp.asarray(np.ascontiguousarray(im)[None])
         raw_boxes, sizes, valid = map(np.asarray, run(predictor.variables, x))
         # stride-4 grid -> original image coords (reference :193-200)
         boxes = []

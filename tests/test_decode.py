@@ -241,6 +241,14 @@ def test_extract_components_budget_overflow_stays_finite():
     # every surviving component has finite, sane coordinates
     for k in np.where(valid)[0]:
         assert np.all(np.abs(boxes[k]) <= 32)
+    # partially-truncated components (box fit to a raster-order prefix of
+    # their pixels) must NOT pass as valid — the dominant component here
+    # has far more pixels than the 32-pixel budget
+    assert not np.any(valid)
+    # with an ample budget the same labels produce exact, valid boxes
+    boxes2, sizes2, valid2 = extract_components(
+        labels, max_components=8, min_size=1, max_pixels=512)
+    assert np.asarray(valid2).sum() >= 2
 
 
 def test_pixellink_decode_fuzz_no_nonfinite():

@@ -22,8 +22,16 @@ from __future__ import annotations
 import queue as _queue
 import threading
 import time
+import warnings
 
 import numpy as np
+
+
+class EnqueuerStopped(RuntimeError):
+    """Raised by get_one() when the enqueuer was stopped before an item
+    became available (distinct from iterator exhaustion; a bare
+    StopIteration would turn into RuntimeError under PEP 479 when raised
+    inside a generator)."""
 
 
 class GeneratorEnqueuer:
@@ -62,6 +70,13 @@ class GeneratorEnqueuer:
                     gen = self._factory()
                 lock = None
             else:
+                if worker_index == 0 and workers > 1:
+                    warnings.warn(
+                        "GeneratorEnqueuer was given an already-constructed "
+                        "generator; workers are serialized behind a lock. "
+                        "Pass a zero-arg generator FACTORY for parallel "
+                        "workers (see module docstring).",
+                        RuntimeWarning, stacklevel=2)
                 gen = self._generator
                 lock = self._lock
             while not self._stop_event.is_set():
@@ -108,10 +123,12 @@ class GeneratorEnqueuer:
                 yield item
 
     def get_one(self):
-        """Block until one item is available (round-1 API, kept)."""
+        """Block until one item is available (round-1 API, kept).
+
+        Raises :class:`EnqueuerStopped` if the enqueuer is stopped."""
         while self.is_running():
             try:
                 return self.queue.get(timeout=self.wait_time)
             except _queue.Empty:
                 continue
-        raise StopIteration
+        raise EnqueuerStopped("GeneratorEnqueuer is stopped")
