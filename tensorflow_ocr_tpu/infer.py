@@ -142,24 +142,16 @@ class Predictor:
             self._fwd_cache[key] = run
         return self._fwd_cache[key]
 
-    def detect_batch(self, images_rgb: np.ndarray
-                     ) -> List[List[np.ndarray]]:
-        """Batched detection on same-sized images (serving path).
+    def _finalize_batch(self, out, n: int) -> List[List[np.ndarray]]:
+        """Fetch one batch's device outputs and build per-image box lists.
 
-        images_rgb: (B, H, W, 3) with H, W multiples of 32. One fused
-        forward + vmapped decode per batch amortizes the dispatch
-        round-trip that dominates single-image latency on remote runtimes.
-        Returns per-image box lists in input coordinates.
-        """
+        The np.asarray fetches block until THIS batch's program finished;
+        later batches already submitted keep transferring/computing."""
         icfg = self.cfg.infer
-        # keep uint8 on the wire; the model casts on device (4x less
-        # host->device traffic, which dominates batch latency)
-        x = jnp.asarray(images_rgb)
-        run = self._batch_fwd(tuple(images_rgb.shape[1:]))
         if self.is_east:
-            quads, scores, valid = map(np.asarray, run(self.variables, x))
+            quads, scores, valid = map(np.asarray, out)
             results = []
-            for b in range(len(images_rgb)):
+            for b in range(n):
                 polys = np.concatenate(
                     [quads[b].reshape(-1, 8), scores[b][:, None]], axis=1
                 )[valid[b]]
@@ -169,11 +161,54 @@ class Predictor:
                      if k[8] > icfg.box_thresh]
                 )
             return results
-        raw_boxes, sizes, valid = map(np.asarray, run(self.variables, x))
+        raw_boxes, sizes, valid = map(np.asarray, out)
         return [
             [b * self.stride for b in raw_boxes[i][valid[i]]]
-            for i in range(len(images_rgb))
+            for i in range(n)
         ]
+
+    def _submit_batch(self, images_rgb: np.ndarray):
+        """Enqueue transfer + forward + decode for one batch (async)."""
+        # keep uint8 on the wire; the model casts on device (4x less
+        # host->device traffic, which dominates batch latency)
+        x = jnp.asarray(images_rgb)
+        run = self._batch_fwd(tuple(images_rgb.shape[1:]))
+        return run(self.variables, x), len(images_rgb)
+
+    def detect_batch(self, images_rgb: np.ndarray
+                     ) -> List[List[np.ndarray]]:
+        """Batched detection on same-sized images (serving path).
+
+        images_rgb: (B, H, W, 3) with H, W multiples of 32. One fused
+        forward + vmapped decode per batch amortizes the dispatch
+        round-trip that dominates single-image latency on remote runtimes.
+        Returns per-image box lists in input coordinates.
+        For a stream of batches, prefer :meth:`detect_batches` — it
+        overlaps the host->device image transfer with device compute.
+        """
+        out, n = self._submit_batch(images_rgb)
+        return self._finalize_batch(out, n)
+
+    def detect_batches(self, batches, depth: int = 2):
+        """Pipelined serving path over a stream of same-shaped batches.
+
+        Yields per-batch results (same schema as :meth:`detect_batch`)
+        while keeping up to ``depth`` batches in flight: JAX dispatch is
+        asynchronous, so batch k+1's host->device uint8 transfer and
+        forward overlap the wait for batch k's results — the
+        DevicePrefetcher pattern (data/pipeline.py) applied to serving.
+        The reference's loop ran one synchronous sess.run per IMAGE
+        (/root/reference/test.py:160-218).
+        """
+        from collections import deque
+
+        q: deque = deque()
+        for imgs in batches:
+            q.append(self._submit_batch(imgs))
+            while len(q) > depth:
+                yield self._finalize_batch(*q.popleft())
+        while q:
+            yield self._finalize_batch(*q.popleft())
 
     def detect(self, im_rgb: np.ndarray) -> Tuple[List[np.ndarray], float]:
         """Detect text boxes in one RGB image. Returns (boxes, net_ms).

@@ -59,6 +59,44 @@ class Conv2D(nn.Module):
     padding: Any = "SAME"
     use_bias: bool = True
     dtype: Any = jnp.bfloat16
+    # Space-to-depth rewrite of a strided conv (the standard TPU ResNet
+    # root transform): a kh x kw / 2 conv on (H, W, C) becomes an
+    # equivalent ceil((kh+1)/2) x ceil((kw+1)/2) / 1 conv on the 2x2
+    # space-to-depth input (H/2, W/2, 4C), with the kernel rearranged at
+    # trace time. The PARAMETER stays (kh, kw, C, Co), so checkpoints and
+    # the slim importer are unaffected. Densifies the C=3 root conv
+    # (3/128 MXU lanes -> 12) and quarters the spatial extent of the
+    # largest conv input. Only used when strides == (2, 2) and H, W even.
+    space_to_depth: bool = False
+
+    def _s2d_conv(self, x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+        """Equivalent stride-1 conv on the 2x2 space-to-depth input.
+
+        Derivation for the 7x7/2 root (pad 3/3): out[i,j] sums input rows
+        2i-3..2i+3; embed the kernel in an 8x8 grid covering rows
+        2i-4..2i+3 (w8[1:,1:] = w), which is exactly 4 consecutive 2-row
+        blocks -> a 4x4 stride-1 conv over blocks with pad (2,1).
+        """
+        n, h, w, c = x.shape
+        kh, kw = self.kernel
+        co = self.features
+        # pad kernel to even extents aligned to block boundaries
+        ph, pw = (2 - kh % 2) % 2, (2 - kw % 2) % 2
+        w8 = jnp.pad(kernel, ((ph, 0), (pw, 0), (0, 0), (0, 0)))
+        bh, bw = (kh + ph) // 2, (kw + pw) // 2
+        w4 = w8.reshape(bh, 2, bw, 2, c, co).transpose(0, 2, 1, 3, 4, 5)
+        w4 = w4.reshape(bh, bw, 4 * c, co)
+        x2 = x.reshape(n, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+        x2 = x2.reshape(n, h // 2, w // 2, 4 * c)
+        (pb_h, _), (pb_w, _) = self.padding
+        # block-row padding: begin covers offset -(pb_h+ph)/2 blocks
+        pad = (((pb_h + ph) // 2, (kh - 1 - pb_h) // 2),
+               ((pb_w + pw) // 2, (kw - 1 - pb_w) // 2))
+        return jax.lax.conv_general_dilated(
+            x2, w4.astype(self.dtype), (1, 1), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=self.dtype,
+        )
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -77,7 +115,12 @@ class Conv2D(nn.Module):
 
         xc = x.astype(self.dtype)
         wc = kernel.astype(self.dtype)
-        if (_pallas_convs_enabled()
+        if (self.space_to_depth and self.strides == (2, 2)
+                and self.dilation == (1, 1)
+                and not isinstance(self.padding, str)
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+            y = self._s2d_conv(xc, kernel)
+        elif (_pallas_convs_enabled()
                 and self.padding == "SAME"
                 and PC.supported(x.shape, (kh, kw), self.strides,
                                  self.dilation, self.features)):
@@ -168,6 +211,7 @@ class ConvBN(nn.Module):
     use_bn: bool = True
     activation: Optional[Any] = nn.relu
     explicit_pad: bool = False  # conv2d_same semantics for stride>1
+    space_to_depth: bool = False  # see Conv2D.space_to_depth
     dtype: Any = jnp.bfloat16
     bn_momentum: float = 0.997
     bn_epsilon: float = 1e-5
@@ -203,6 +247,7 @@ class ConvBN(nn.Module):
                 dilation=self.dilation,
                 use_bias=not self.use_bn,
                 dtype=self.dtype,
+                space_to_depth=self.space_to_depth,
                 name="Conv_0",
             )(x)
         if self.use_bn:

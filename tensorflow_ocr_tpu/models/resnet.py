@@ -367,13 +367,24 @@ class ResNetV1(nn.Module):
     units: Sequence[int] = RESNET_UNITS[50]
     dtype: Any = jnp.bfloat16
     output_stride: int | None = None
+    # Space-to-depth rewrite of the 7x7/2 root conv (layers.Conv2D
+    # docstring). None = env OCR_S2D_STEM, default on: measured
+    # mathematically-equivalent and faster on v5e at 512x512 (the C=3
+    # conv is the pathological MXU shape). Parameter tree unchanged.
+    s2d_stem: bool | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
         ep: Dict[str, jnp.ndarray] = {}
+        s2d = self.s2d_stem
+        if s2d is None:
+            import os
+
+            s2d = os.environ.get("OCR_S2D_STEM", "1") not in (
+                "0", "false", "off")
         # root (resnet_v1.py:188-196)
         x = ConvBN(64, (7, 7), (2, 2), explicit_pad=True, dtype=self.dtype,
-                   name="conv1")(x, train)
+                   space_to_depth=s2d, name="conv1")(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
         ep["pool2"] = x
 

@@ -63,3 +63,20 @@ def test_detect_single_matches_api(predictor):
     im = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
     boxes, ms = predictor.detect(im)
     assert isinstance(boxes, list) and ms > 0
+
+
+def test_detect_batches_pipelined_matches_detect_batch(predictor):
+    """The pipelined stream path must yield exactly detect_batch's
+    results, in order, for every batch in the stream."""
+    rng = np.random.RandomState(2)
+    stream = [(rng.rand(2, 64, 64, 3) * 255).astype(np.uint8)
+              for _ in range(4)]
+    expected = [predictor.detect_batch(b) for b in stream]
+    got = list(predictor.detect_batches(iter(stream), depth=2))
+    assert len(got) == len(expected)
+    for g, e in zip(got, expected):
+        assert len(g) == len(e)
+        for gb, eb in zip(g, e):
+            assert len(gb) == len(eb)
+            for a, b in zip(gb, eb):
+                np.testing.assert_allclose(a, b, rtol=1e-5)
