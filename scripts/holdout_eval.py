@@ -52,6 +52,17 @@ def main():
                          "thresholds on the held-out set (single compile: "
                          "thresholds are traced args) and report the best "
                          "operating point")
+    ap.add_argument("--scenes", default="v1", choices=["v1", "v2"],
+                    help="hard-scene generation tier: v1 (round-2 set; "
+                         "saturated at F~0.67) or v2 (perspective warp, "
+                         "curved baselines, dense crowding, extreme "
+                         "scales)")
+    ap.add_argument("--json", default=None, metavar="OUT",
+                    help="write a machine-readable result record (model, "
+                         "steps, recipe, train/val P/R/F, thresholds) to "
+                         "this path; appends to the file's 'runs' list if "
+                         "it already exists (so one QUALITY_r*.json can "
+                         "collect all families)")
     args = ap.parse_args()
 
     from tensorflow_ocr_tpu.config import Config
@@ -60,12 +71,14 @@ def main():
     from tensorflow_ocr_tpu.train import trainer as T
     from tensorflow_ocr_tpu.train.eval_hook import EvalDuringTraining
 
-    train_dir = "/tmp/holdout_train"
-    val_dir = "/tmp/holdout_val"
+    hard = "v2" if args.scenes == "v2" else True
+    suffix = "_v2" if args.scenes == "v2" else ""
+    train_dir = f"/tmp/holdout_train{suffix}"
+    val_dir = f"/tmp/holdout_val{suffix}"
     make_synthetic_dataset(train_dir, args.train_images, (512, 512),
-                           seed=0, hard=True)
+                           seed=0, hard=hard)
     make_synthetic_dataset(val_dir, args.val_images, (512, 512),
-                           seed=1, hard=True)
+                           seed=1, hard=hard)
 
     def base_cfg():
         cfg = Config()
@@ -149,6 +162,9 @@ def main():
           f"P={train.get('precision', 0):.3f} "
           f"R={train.get('recall', 0):.3f} F={train.get('fmean', 0):.3f}")
 
+    best_thresholds = (cfg.infer.pixel_conf_threshold,
+                       cfg.infer.link_conf_threshold)
+    best_val = val
     if args.sweep_thresholds and not args.model.startswith("east"):
         best = (val.get("fmean", 0.0),
                 cfg.infer.pixel_conf_threshold,
@@ -164,9 +180,55 @@ def main():
                 if f > best[0]:
                     best = (f, pt, lt, r)
         f, pt, lt, r = best
+        best_thresholds, best_val = (pt, lt), r
         print(f"BEST thresholds: pixel={pt} link={lt} -> "
               f"P={r.get('precision', 0):.3f} R={r.get('recall', 0):.3f} "
               f"F={f:.3f}")
+
+    if args.json:
+        import json
+
+        def prf(d):
+            return {k: round(float(d.get(k, 0.0)), 4)
+                    for k in ("precision", "recall", "fmean")}
+
+        record = {
+            "model": args.model,
+            "steps": args.steps,
+            "batch": args.batch,
+            "lr": args.lr,
+            "recipe": {
+                "pretrain_steps": args.pretrain_steps,
+                "freeze_bn": args.freeze_bn,
+                "augment": args.augment,
+                "min_component_size": cfg.infer.min_component_size,
+            },
+            "data": {
+                "train_images": args.train_images,
+                "val_images": args.val_images,
+                "train_seed": 0,
+                "val_seed": 1,
+                "scenes": args.scenes,
+            },
+            "train_images_per_sec": round(args.steps * args.batch / dt, 1),
+            "val": prf(val),
+            "train": prf(train),
+            "thresholds": {"pixel": best_thresholds[0],
+                           "link": best_thresholds[1]},
+            "val_at_best_thresholds": prf(best_val),
+        }
+        doc = {"runs": []}
+        if os.path.exists(args.json):
+            with open(args.json) as f:
+                try:
+                    doc = json.load(f)
+                except Exception:
+                    doc = {"runs": []}
+            doc.setdefault("runs", [])
+        doc["runs"].append(record)
+        with open(args.json, "w") as f:
+            json.dump(doc, f, indent=1)
+        print(f"wrote {args.json} ({len(doc['runs'])} runs)")
 
 
 if __name__ == "__main__":

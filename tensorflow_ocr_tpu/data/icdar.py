@@ -290,9 +290,75 @@ def prepare_sample(im_fn: str, cfg: DataConfig,
     )
 
 
+def _chars_along(ctr, ux, uy, n_ch, ch_w, ch_h, pitch):
+    """Character quads placed along direction ux with the given pitch."""
+    out = []
+    for c in range(n_ch):
+        off = (c - (n_ch - 1) / 2.0) * pitch
+        cc = ctr + ux * off
+        out.append(np.stack([
+            cc + ux * ch_w / 2 + uy * ch_h / 2,
+            cc - ux * ch_w / 2 + uy * ch_h / 2,
+            cc - ux * ch_w / 2 - uy * ch_h / 2,
+            cc + ux * ch_w / 2 - uy * ch_h / 2,
+        ]))
+    return out
+
+
+def _v2_instance(rng, h, w, cx, cy, bh, ang_deg, kind=None):
+    """One v2 text instance at (cx, cy): returns (char_polys, gt_quad).
+
+    Phenomena beyond the v1 striped plates (VERDICT round-2 weak #5 —
+    the v1 set stopped discriminating): perspective-warped instances,
+    curved baselines, and extreme scales (bh spans ~7..h/3 at the call
+    site). The GT quad is the min-area rect of the character quads, the
+    tightest ICDAR-quad a fair annotator would draw.
+    """
+    ang = np.deg2rad(ang_deg)
+    ux = np.array([np.cos(ang), np.sin(ang)])
+    uy = np.array([-ux[1], ux[0]])
+    n_ch = rng.randint(3, 9)
+    pitch = bh * rng.uniform(0.7, 0.95)
+    ch_w, ch_h = pitch * 0.6, bh * rng.uniform(0.6, 0.8)
+    ctr = np.array([cx, cy], np.float32)
+    if kind is None:
+        kind = rng.randint(3)  # 0 straight, 1 curved, 2 perspective
+    chars = _chars_along(ctr, ux, uy, n_ch, ch_w, ch_h, pitch)
+    if kind == 1:
+        # curved baseline: displace each char along uy by a sine bow
+        bow = bh * rng.uniform(0.6, 1.6) * rng.choice([-1.0, 1.0])
+        for c in range(n_ch):
+            t = c / max(n_ch - 1, 1) * 2 - 1        # -1..1
+            disp = uy * bow * (1 - t * t)           # parabolic arc
+            rot = np.deg2rad(rng.uniform(-12, 12))  # slight char wobble
+            cr, sr = np.cos(rot), np.sin(rot)
+            m = np.array([[cr, -sr], [sr, cr]])
+            cc = chars[c].mean(0)
+            chars[c] = (chars[c] - cc) @ m.T + cc + disp
+    elif kind == 2:
+        # perspective: project through a random homography anchored on
+        # the instance's bounding box
+        ext = n_ch * pitch / 2 + ch_w
+        src = np.array([ctr + ux * ext + uy * bh, ctr - ux * ext + uy * bh,
+                        ctr - ux * ext - uy * bh, ctr + ux * ext - uy * bh],
+                       np.float32)
+        dst = src + rng.uniform(-0.22, 0.22, (4, 2)).astype(np.float32) * \
+            np.array([ext, bh], np.float32)
+        H = cv2.getPerspectiveTransform(src, dst)
+        pts = np.concatenate(chars).astype(np.float32).reshape(-1, 1, 2)
+        warped = cv2.perspectiveTransform(pts, H).reshape(-1, 4, 2)
+        chars = [warped[c] for c in range(n_ch)]
+    allpts = np.concatenate(chars).astype(np.float32)
+    rect = cv2.boxPoints(cv2.minAreaRect(allpts))
+    c0 = allpts.mean(0)
+    rect = rect[np.argsort(np.arctan2(rect[:, 1] - c0[1],
+                                      rect[:, 0] - c0[0]))]
+    return chars, rect
+
+
 def make_synthetic_dataset(path: str, num_images: int = 10,
                            size: Tuple[int, int] = (480, 640),
-                           seed: int = 0, hard: bool = False) -> List[str]:
+                           seed: int = 0, hard=False) -> List[str]:
     """Write a tiny synthetic ICDAR-format dataset (images + gt_*.txt).
 
     The container has no ICDAR-2015 data; tests and benchmarks use this to
@@ -303,10 +369,16 @@ def make_synthetic_dataset(path: str, num_images: int = 10,
     non-text distractor shapes that must NOT be detected (circles, lines,
     solid blobs), more instances with wider rotations, and ### ignore
     regions — used for the held-out evaluation in BASELINE.md.
+
+    ``hard="v2"`` additionally renders perspective-warped instances,
+    curved baselines, dense multi-line crowding, and extreme scales
+    (instance heights from ~7 px to h/3) — the re-armed benchmark after
+    the v1 set saturated (zero train/val gap at F 0.667).
     """
     os.makedirs(path, exist_ok=True)
     rng = np.random.RandomState(seed)
     h, w = size
+    v2 = hard == "v2"
     files = []
     for i in range(num_images):
         if hard:
@@ -340,6 +412,75 @@ def make_synthetic_dataset(path: str, num_images: int = 10,
             n_inst = rng.randint(1, 6)
             max_ang = 30
         lines = []
+        if v2:
+            insts = []
+            placed = []  # axis-aligned bboxes of accepted instances
+
+            def overlaps(rect):
+                x0, y0 = rect.min(0)
+                x1, y1 = rect.max(0)
+                for (a0, b0, a1, b1) in placed:
+                    ix = max(0, min(x1, a1) - max(x0, a0))
+                    iy = max(0, min(y1, b1) - max(y0, b0))
+                    inter = ix * iy
+                    if inter > 0.05 * min((x1 - x0) * (y1 - y0),
+                                          (a1 - a0) * (b1 - b0)):
+                        return True
+                placed.append((x0, y0, x1, y1))
+                return False
+
+            for _ in range(rng.randint(3, 7)):
+                for _try in range(8):  # retry placement on overlap
+                    # extreme scales: log-uniform height 7 .. h/3
+                    bh_i = float(np.exp(rng.uniform(np.log(7.0),
+                                                    np.log(h / 3.0))))
+                    ext = min(4.0 * bh_i, w / 2.0 - 2)
+                    cx = rng.uniform(ext, w - ext)
+                    cy = rng.uniform(ext / 2, h - ext / 2)
+                    ang = rng.uniform(-60, 60)
+                    if rng.rand() < 0.4 and bh_i < h / 8:
+                        # dense crowding: 3-5 parallel lines, small gaps
+                        # — stresses link-based instance separation
+                        n_lines = rng.randint(3, 6)
+                        gap = bh_i * rng.uniform(1.25, 1.7)
+                        a = np.deg2rad(ang)
+                        uy = np.array([-np.sin(a), np.cos(a)])
+                        block = []
+                        for li in range(n_lines):
+                            off = (li - (n_lines - 1) / 2.0) * gap
+                            block.append(_v2_instance(
+                                rng, h, w, cx + uy[0] * off,
+                                cy + uy[1] * off, bh_i, ang, kind=0))
+                        # reject a block whose hull overlaps prior
+                        # instances (crossing text -> ambiguous labels)
+                        hull_pts = np.concatenate(
+                            [r for _, r in block]).astype(np.float32)
+                        if overlaps(hull_pts):
+                            continue
+                        insts.extend((c, r, bh_i) for c, r in block)
+                    else:
+                        chars, rect = _v2_instance(rng, h, w, cx, cy,
+                                                   bh_i, ang)
+                        if overlaps(rect):
+                            continue
+                        insts.append((chars, rect, bh_i))
+                    break
+            for chars, rect, bh_i in insts:
+                allpts = np.concatenate(chars).astype(np.int32)
+                hull = cv2.convexHull(allpts)
+                plate = tuple(int(c) for c in rng.randint(190, 255, 3))
+                cv2.fillPoly(im, [hull], plate)
+                ink = (int(plate[0] * 0.2),) * 3
+                for cb in chars:
+                    cv2.fillPoly(im, [cb.astype(np.int32)], ink)
+                # unreadably small instances are don't-care, like ICDAR's
+                # ### convention for illegible text
+                tag = ("###" if bh_i < 8.5 or rng.rand() < 0.15
+                       else "text")
+                coords = ",".join(
+                    str(int(round(v))) for v in rect.reshape(-1))
+                lines.append(f"{coords},{tag}")
+            n_inst = 0  # v1 instance loop below is skipped
         for _ in range(n_inst):
             mx, my = max(w // 6, 16), max(h // 6, 12)
             cx, cy = rng.randint(mx, w - mx), rng.randint(my, h - my)

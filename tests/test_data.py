@@ -156,3 +156,31 @@ def test_background_crop_sampling(dataset):
         if s is not None:
             break
     assert s is not None and s.valid.any()
+
+
+def test_synthetic_v2_scenes_parse_and_label(tmp_path):
+    """hard='v2' scenes (perspective/curved/crowded/extreme-scale) must
+    produce loader-parseable GT whose polys survive validation and
+    rasterize to non-trivial labels."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tensorflow_ocr_tpu.data import icdar
+    from tensorflow_ocr_tpu.config import DataConfig
+
+    path = str(tmp_path / "v2")
+    files = icdar.make_synthetic_dataset(
+        path, num_images=4, size=(256, 256), seed=5, hard="v2")
+    assert len(files) == 4
+    cfg = DataConfig()
+    cfg.training_data_path = path
+    cfg.input_size = 256
+    cfg.max_polys = 24
+    n_valid = 0
+    for fn in files:
+        polys, tags = icdar.load_annotation(icdar.gt_path_for_image(fn))
+        assert len(polys) >= 1
+        s = icdar.prepare_sample(fn, cfg, rng=np.random.RandomState(0))
+        assert s is not None
+        n_valid += int(np.sum(s.valid))
+    assert n_valid >= 4  # across 4 images, several usable instances
