@@ -282,6 +282,9 @@ def main():
         "value": round(per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / 2000.0, 4),
+        # analytic HBM-roofline ratio (PERF.md / scripts/roofline.py:
+        # batch-BN ceiling 480 img/s/chip at b32/512 on v5e)
+        "vs_roofline": round(per_chip / 480.0, 4),
         "value_freeze_bn_finetune": (
             round(frozen_per_chip, 2) if frozen_per_chip is not None
             else None),

@@ -19,7 +19,7 @@ import re
 import sys
 
 
-def main(batch=32, steps=4):
+def main(batch=32, steps=4, freeze_bn=False):
     import numpy as np
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -40,6 +40,7 @@ def main(batch=32, steps=4):
     cfg.data.input_size = 512
     cfg.data.batch_size = batch
     cfg.data.max_polys = 16
+    cfg.model.freeze_bn = freeze_bn
     mesh = make_mesh()
     ds = DeviceDataset(cfg.data, precompute_labels=True)
     rep = NamedSharding(mesh, P())
@@ -93,4 +94,6 @@ if __name__ == "__main__":
         kw["batch"] = int(sys.argv[sys.argv.index("--batch") + 1])
     if "--steps" in sys.argv:
         kw["steps"] = int(sys.argv[sys.argv.index("--steps") + 1])
+    if "--freeze-bn" in sys.argv:
+        kw["freeze_bn"] = True
     main(**kw)

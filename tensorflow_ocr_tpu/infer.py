@@ -78,6 +78,13 @@ class Predictor:
         # pixellink boxes come out at the model's map stride (4, or 2 for
         # the 2s variant)
         self.stride = float(getattr(self.model, "output_stride", 4))
+        # min_component_size is specified at the reference's stride-4 grid
+        # (groups > 10 px, test_pixellink_fast.py:174); the reference's own
+        # full-res path scales it with grid area (> 200 px at 1280x720,
+        # test_pixellink.py:174). Apply the same area scaling for non-4
+        # strides (the 2s head: x4 pixels per instance at stride 2).
+        self.min_size = int(round(
+            cfg.infer.min_component_size * (4.0 / self.stride) ** 2))
         self._fwd_cache: Dict[Tuple[int, int], callable] = {}
 
     def _fwd(self, shape: Tuple[int, int]):
@@ -102,7 +109,7 @@ class Predictor:
                         ps[0], ls[0],
                         pixel_thresh=icfg.pixel_conf_threshold,
                         link_thresh=icfg.link_conf_threshold,
-                        min_size=icfg.min_component_size,
+                        min_size=self.min_size,
                         max_components=icfg.max_components,
                     )
             self._fwd_cache[shape] = run
@@ -135,7 +142,7 @@ class Predictor:
                             ps, ls,
                             pixel_thresh=icfg.pixel_conf_threshold,
                             link_thresh=icfg.link_conf_threshold,
-                            min_size=icfg.min_component_size,
+                            min_size=self.min_size,
                             max_components=icfg.max_components,
                         )
                     return jax.vmap(one)(ps_all, ls_all)

@@ -25,8 +25,15 @@ from tensorflow_ocr_tpu.utils import nms as N
 
 class EvalDuringTraining:
     def __init__(self, cfg: Config, val_dir: str, max_images: int = 16):
+        from tensorflow_ocr_tpu.models.detector import model_output_stride
+
         self.cfg = cfg
         self.is_east = cfg.model.name.startswith("east")
+        self.stride = model_output_stride(cfg.model.name)
+        # size thresholds are defined on the stride-4 grid; scale with
+        # grid area for other strides (see infer.Predictor.min_size)
+        self.min_size = int(round(
+            cfg.infer.min_component_size * (4.0 / self.stride) ** 2))
         size = cfg.data.input_size
         self.images = []
         self.gts = []
@@ -74,7 +81,7 @@ class EvalDuringTraining:
                         ps, ls,
                         pixel_thresh=pixel_thresh,
                         link_thresh=link_thresh,
-                        min_size=icfg.min_component_size,
+                        min_size=self.min_size,
                         max_components=icfg.max_components,
                     )
                 return jax.vmap(one)(ps_all, ls_all)
@@ -113,9 +120,7 @@ class EvalDuringTraining:
             raw, sizes, valid = map(
                 np.asarray,
                 self._run(variables, x, jnp.float32(pt), jnp.float32(lt)))
-            from tensorflow_ocr_tpu.models.detector import model_output_stride
-
-            stride = float(model_output_stride(self.cfg.model.name))
+            stride = float(self.stride)
             for b, (gt, ignored) in enumerate(self.gts):
                 boxes = raw[b][valid[b]] * stride
                 prf.update(boxes, np.ones(len(boxes)), gt, ignored)
