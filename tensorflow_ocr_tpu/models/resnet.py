@@ -368,9 +368,11 @@ class ResNetV1(nn.Module):
     dtype: Any = jnp.bfloat16
     output_stride: int | None = None
     # Space-to-depth rewrite of the 7x7/2 root conv (layers.Conv2D
-    # docstring). None = env OCR_S2D_STEM, default on: measured
-    # mathematically-equivalent and faster on v5e at 512x512 (the C=3
-    # conv is the pathological MXU shape). Parameter tree unchanged.
+    # docstring). None = env OCR_S2D_STEM, default OFF: mathematically
+    # equivalent (tests/test_s2d_stem.py) but measured 430 vs 439
+    # img/s/chip at b32/512 on v5e — the materialized input
+    # reshape/transpose costs more than the denser root conv saves
+    # (PERF.md §4.1). Parameter tree unchanged either way.
     s2d_stem: bool | None = None
 
     @nn.compact
@@ -380,7 +382,7 @@ class ResNetV1(nn.Module):
         if s2d is None:
             import os
 
-            s2d = os.environ.get("OCR_S2D_STEM", "1") not in (
+            s2d = os.environ.get("OCR_S2D_STEM", "0") not in (
                 "0", "false", "off")
         # root (resnet_v1.py:188-196)
         x = ConvBN(64, (7, 7), (2, 2), explicit_pad=True, dtype=self.dtype,
