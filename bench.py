@@ -127,6 +127,20 @@ def serve_throughput_main():
         out = run(pred.variables, x_dev)
     np.asarray(jax.tree_util.tree_leaves(out)[0])[:1]
     dev_ips = rounds * batch / (time.time() - t0)
+
+    # raw host->device bandwidth through this runtime: the upper bound on
+    # ANY end-to-end serving number (uint8 1280x768x3 = 2.95 MB/image).
+    # On the tunneled dev runtime this is the binding constraint; on a
+    # production host (PCIe/DMA) it is ~100x higher.
+    n_xfer = 4
+    t0 = time.time()
+    for i in range(n_xfer):
+        x = jax.device_put(imgs)
+        _ = np.asarray(x[0, 0, 0, :1])  # value fetch = reliable sync here
+    xfer_s = (time.time() - t0) / n_xfer
+    mb = imgs.nbytes / 1e6
+    xfer_mb_s = mb / xfer_s
+    xfer_bound_ips = batch / xfer_s
     print(
         json.dumps(
             {
@@ -137,6 +151,8 @@ def serve_throughput_main():
                 "batch": batch,
                 "device_images_per_sec": round(dev_ips, 2),
                 "unpipelined_images_per_sec": round(sync_ips, 2),
+                "host_to_device_mb_per_sec": round(xfer_mb_s, 1),
+                "transfer_bound_images_per_sec": round(xfer_bound_ips, 2),
             }
         )
     )

@@ -99,7 +99,13 @@ class Conv2D(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, out_scale=None,
+                 out_shift=None) -> jnp.ndarray:
+        """out_scale/out_shift: optional per-output-channel affine FOLDED
+        into the kernel (w' = w * scale, + shift after the conv) — used by
+        ConvBN to fold frozen/running-stats BatchNorm into the conv so
+        conv+BN+relu lower as one fusion (PERF.md §4.2: the materialized
+        affine was 13 ms/step of the frozen-BN train step)."""
         cin = x.shape[-1]
         kh, kw = self.kernel
         kernel = self.param(
@@ -111,6 +117,8 @@ class Conv2D(nn.Module):
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32
             )
+        if out_scale is not None:
+            kernel = kernel * out_scale  # f32, broadcast over (kh,kw,ci,·)
         from tensorflow_ocr_tpu.ops import pallas_conv as PC
 
         xc = x.astype(self.dtype)
@@ -134,6 +142,8 @@ class Conv2D(nn.Module):
             )
         if bias is not None:
             y = y + bias.astype(self.dtype)
+        if out_shift is not None:
+            y = y + out_shift.astype(self.dtype)
         return y
 
 
@@ -197,11 +207,43 @@ class PointwiseConv(nn.Module):
         return y
 
 
+class BNParams(nn.Module):
+    """nn.BatchNorm's exact variable tree (params scale/bias + batch_stats
+    mean/var, same initializers) WITHOUT the elementwise computation.
+    ConvBN's folded path reads these to bake the running-stats affine into
+    the conv kernel; the train path's nn.BatchNorm under the same child
+    name sees the identical tree."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32))
+        var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32))
+        return scale, bias, mean.value, var.value
+
+
 class ConvBN(nn.Module):
     """slim.conv2d with BN+ReLU defaults (reference nets/model.py:100-104).
 
     BN decay 0.997 / eps 1e-5 / scale=True matches
     reference nets/model.py:94-99 & resnet_utils.py:209-254.
+
+    When BN runs on running statistics (train=False: inference, or the
+    freeze_bn fine-tune recipe), the affine is FOLDED into the conv
+    kernel (w' = w·γ/√(σ²+ε), shift = β−μ·γ/√(σ²+ε)) so conv+BN+relu
+    lower as a single fusion. Exact (the affine is linear in the conv
+    output) and tree-identical; gradients flow through the fold to the
+    same parameters. Measured: removes the 13 ms/step multiply_add pass
+    of the frozen-BN train step (PERF.md §4.2).
     """
 
     features: int
@@ -222,6 +264,28 @@ class ConvBN(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         kh, kw = self.kernel
+        fold_bn = self.use_bn and not train and not POINTWISE_DOT
+        if fold_bn:
+            scale, bn_bias, mean, var = BNParams(
+                self.features, name="BatchNorm_0")()
+            mul = scale * jax.lax.rsqrt(var + self.bn_epsilon)
+            shift = bn_bias - mean * mul
+            padding: Any = "SAME"
+            if self.explicit_pad and (self.strides[0] > 1
+                                      or self.strides[1] > 1):
+                pad_beg = ((kh - 1) // 2, (kw - 1) // 2)
+                pad_end = (kh // 2, kw // 2)
+                padding = ((pad_beg[0], pad_end[0]),
+                           (pad_beg[1], pad_end[1]))
+            x = Conv2D(
+                self.features, self.kernel, strides=self.strides,
+                padding=padding, dilation=self.dilation, use_bias=False,
+                dtype=self.dtype, space_to_depth=self.space_to_depth,
+                name="Conv_0",
+            )(x, out_scale=mul, out_shift=shift)
+            if self.activation is not None:
+                x = self.activation(x)
+            return x
         if POINTWISE_DOT and (kh, kw) == (1, 1) and self.dilation == (1, 1):
             # dot_general path: the TPU conv emitters are far off the matmul
             # roofline for pointwise convs (see PointwiseConv). Param tree

@@ -151,3 +151,46 @@ def test_resnet_output_stride_validation():
     with _pytest.raises(ValueError):
         resnet_v1(50, output_stride=6).init(
             jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+
+
+def test_convbn_frozen_fold_matches_unfolded_math():
+    """ConvBN with train=False folds the running-stats BN affine into the
+    conv kernel; the result must equal the unfolded conv->BN->relu math."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from tensorflow_ocr_tpu.models.layers import ConvBN
+
+    rng = np.random.RandomState(0)
+    m = ConvBN(16, (3, 3), dtype=jnp.float32)
+    x = jnp.asarray(rng.randn(2, 8, 8, 4), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    # non-trivial BN state
+    v = jax.tree_util.tree_map(lambda a: a, v)
+    bs = {"BatchNorm_0": {
+        "mean": jnp.asarray(rng.randn(16) * 0.3, jnp.float32),
+        "var": jnp.asarray(rng.rand(16) + 0.5, jnp.float32)}}
+    params = dict(v["params"])
+    params["BatchNorm_0"] = {
+        "scale": jnp.asarray(rng.rand(16) + 0.5, jnp.float32),
+        "bias": jnp.asarray(rng.randn(16) * 0.2, jnp.float32)}
+    variables = {"params": params, "batch_stats": bs}
+
+    y = m.apply(variables, x, train=False)
+
+    k = params["Conv_0"]["kernel"]
+    conv = jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    g, b2 = params["BatchNorm_0"]["scale"], params["BatchNorm_0"]["bias"]
+    mu, var = bs["BatchNorm_0"]["mean"], bs["BatchNorm_0"]["var"]
+    ref = jax.nn.relu((conv - mu) / jnp.sqrt(var + 1e-5) * g + b2)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    # gradients still reach conv kernel AND BN params through the fold
+    def loss(p):
+        return jnp.sum(m.apply({"params": p, "batch_stats": bs}, x,
+                               train=False) ** 2)
+    g = jax.grad(loss)(params)
+    assert float(jnp.max(jnp.abs(g["Conv_0"]["kernel"]))) > 0
+    assert float(jnp.max(jnp.abs(g["BatchNorm_0"]["scale"]))) > 0
