@@ -92,3 +92,25 @@ def test_summary_writer_roundtrip(tmp_path):
     w.close()
     files = os.listdir(tmp_path)
     assert any("tfevents" in f for f in files)
+
+
+def test_min_component_size_scales_with_stride():
+    """min_component_size is specified on the stride-4 grid and scales
+    with grid area for other strides (the reference's own convention:
+    >10 at stride-4 decode vs >200 at full res, test_pixellink.py:174)."""
+    from tensorflow_ocr_tpu.config import Config
+    from tensorflow_ocr_tpu.infer import Predictor
+    from tensorflow_ocr_tpu.train.eval_hook import EvalDuringTraining
+
+    cfg = Config()
+    cfg.model.name = "pixellink_vgg16"
+    cfg.infer.checkpoint_path = "/nonexistent"
+    assert Predictor(cfg).min_size == cfg.infer.min_component_size
+
+    cfg2 = Config()
+    cfg2.model.name = "pixellink2s_vgg16"
+    cfg2.infer.checkpoint_path = "/nonexistent"
+    assert Predictor(cfg2).min_size == cfg2.infer.min_component_size * 4
+
+    hook = EvalDuringTraining(cfg2, "/nonexistent_dir")
+    assert hook.min_size == cfg2.infer.min_component_size * 4
