@@ -166,6 +166,82 @@ def unpool(x: jnp.ndarray) -> jnp.ndarray:
     return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="bilinear")
 
 
+# Equality-mask 3x3/2 maxpool backward (the ResNet stem pool,
+# resnet_v1.py:197). XLA lowers max-pool grad as SelectAndScatter (2.2
+# ms/step of the frozen-BN train step, PERF.md); this custom VJP
+# recomputes the routing with strided equality masks instead:
+# dX[i] = sum over the <=9 windows containing i of dY[p]*(X[i]==Y[p]).
+# MEASURED NEGATIVE on TPU v5e (PERF.md §4.3): 91.9 vs 72.9 ms/step
+# batch-BN, 76.4 vs 57.4 frozen — the 9 strided pad/accumulate passes
+# cost ~4x more HBM traffic than SelectAndScatter's inefficiency. Kept
+# as a tested opt-in (OCR_FAST_MAXPOOL=1), default OFF. Subgradient
+# note: on tied maxima this distributes the gradient to EVERY tied
+# element, where SelectAndScatter picks the first; both are valid
+# subgradients of max.
+def _fast_maxpool_enabled() -> bool:
+    import os
+
+    return os.environ.get("OCR_FAST_MAXPOOL", "0") in ("1", "true", "on")
+
+
+@jax.custom_vjp
+def max_pool_3x3s2(x: jnp.ndarray) -> jnp.ndarray:
+    return nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+
+
+def _mp_fwd(x):
+    y = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+    return y, (x, y)
+
+
+def _mp_bwd(res, g):
+    x, y = res
+    n, h, w, c = x.shape
+    ho, wo = y.shape[1], y.shape[2]
+    # SAME for k=3,s=2: pad_beg = 0 if dim even else 1 (TF convention:
+    # pad_total = max((o-1)*2+3-d, 0), beg = pad_total//2).
+    pb_h = 0 if h % 2 == 0 else 1
+    pb_w = 0 if w % 2 == 0 else 1
+    g = g.astype(x.dtype)
+    dx = jnp.zeros_like(x)
+    for di in range(3):
+        for dj in range(3):
+            # input row index i = 2p + di - pb_h for output row p
+            i0, j0 = di - pb_h, dj - pb_w
+            p0 = max(0, -(i0 // 2)) if i0 < 0 else 0
+            q0 = max(0, -(j0 // 2)) if j0 < 0 else 0
+            i_start, j_start = 2 * p0 + i0, 2 * q0 + j0
+            if i_start >= h or j_start >= w:
+                continue
+            nh = min(ho - p0, (h - i_start + 1) // 2)
+            nw = min(wo - q0, (w - j_start + 1) // 2)
+            if nh <= 0 or nw <= 0:
+                continue
+            xs = jax.lax.slice(
+                x, (0, i_start, j_start, 0),
+                (n, i_start + 2 * (nh - 1) + 1, j_start + 2 * (nw - 1) + 1,
+                 c), (1, 2, 2, 1))
+            ys = jax.lax.slice(
+                y, (0, p0, q0, 0), (n, p0 + nh, q0 + nw, c))
+            gs = jax.lax.slice(
+                g, (0, p0, q0, 0), (n, p0 + nh, q0 + nw, c))
+            contrib = jnp.where(xs == ys, gs, jnp.zeros_like(gs))
+            dx = dx.at[:, i_start:i_start + 2 * nh:2,
+                       j_start:j_start + 2 * nw:2, :].add(contrib)
+    return (dx,)
+
+
+max_pool_3x3s2.defvjp(_mp_fwd, _mp_bwd)
+
+
+def stem_max_pool(x: jnp.ndarray) -> jnp.ndarray:
+    """The ResNet stem 3x3/2 SAME maxpool; OCR_FAST_MAXPOOL=1 opts into
+    the equality-mask VJP (measured negative on v5e, PERF.md §4.3)."""
+    if _fast_maxpool_enabled():
+        return max_pool_3x3s2(x)
+    return nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+
+
 class PointwiseConv(nn.Module):
     """1x1 convolution expressed as a dot_general.
 

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tensorflow_ocr_tpu.models.layers import ConvBN
+from tensorflow_ocr_tpu.models.layers import ConvBN, stem_max_pool
 
 # Fused Pallas bottleneck path (ops/pallas_fused.py): conv kernels with
 # the previous BatchNorm+relu applied as a VMEM prologue and this conv's
@@ -387,7 +387,7 @@ class ResNetV1(nn.Module):
         # root (resnet_v1.py:188-196)
         x = ConvBN(64, (7, 7), (2, 2), explicit_pad=True, dtype=self.dtype,
                    space_to_depth=s2d, name="conv1")(x, train)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = stem_max_pool(x)
         ep["pool2"] = x
 
         target = None

@@ -16,7 +16,7 @@ from typing import Any, Dict, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tensorflow_ocr_tpu.models.layers import ConvBN
+from tensorflow_ocr_tpu.models.layers import ConvBN, stem_max_pool
 from tensorflow_ocr_tpu.models.resnet import RESNET_UNITS
 
 
@@ -69,7 +69,7 @@ class ResNetV2(nn.Module):
             padding=((3, 3), (3, 3)), dtype=self.dtype,
             param_dtype=jnp.float32, name="conv1",
         )(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = stem_max_pool(x)
         ep["pool2"] = x
 
         base_depths = (256, 512, 1024, 2048)
