@@ -162,10 +162,34 @@ def main():
           f"P={train.get('precision', 0):.3f} "
           f"R={train.get('recall', 0):.3f} F={train.get('fmean', 0):.3f}")
 
-    best_thresholds = (cfg.infer.pixel_conf_threshold,
-                       cfg.infer.link_conf_threshold)
+    is_east = args.model.startswith("east")
+    if is_east:
+        best_thresholds = (cfg.infer.score_map_thresh, cfg.infer.nms_thresh)
+    else:
+        best_thresholds = (cfg.infer.pixel_conf_threshold,
+                           cfg.infer.link_conf_threshold)
     best_val = val
-    if args.sweep_thresholds and not args.model.startswith("east"):
+    if args.sweep_thresholds and is_east:
+        # EAST operating point: device score threshold (traced arg, one
+        # compile) x host locality-aware-NMS IoU threshold
+        best = (val.get("fmean", 0.0), cfg.infer.score_map_thresh,
+                cfg.infer.nms_thresh, val)
+        for st in (0.5, 0.6, 0.7, 0.8, 0.9):
+            for nt in (0.1, 0.2, 0.3):
+                r = val_hook(tr.model, tr.state, use_ema=True,
+                             score_thresh=st, nms_thresh=nt)
+                f = r.get("fmean", 0.0)
+                print(f"  sweep score={st:.1f} nms={nt:.1f}: "
+                      f"P={r.get('precision', 0):.3f} "
+                      f"R={r.get('recall', 0):.3f} F={f:.3f}")
+                if f > best[0]:
+                    best = (f, st, nt, r)
+        f, st, nt, r = best
+        best_thresholds, best_val = (st, nt), r
+        print(f"BEST thresholds: score={st} nms={nt} -> "
+              f"P={r.get('precision', 0):.3f} R={r.get('recall', 0):.3f} "
+              f"F={f:.3f}")
+    if args.sweep_thresholds and not is_east:
         best = (val.get("fmean", 0.0),
                 cfg.infer.pixel_conf_threshold,
                 cfg.infer.link_conf_threshold, val)
@@ -213,8 +237,10 @@ def main():
             "train_images_per_sec": round(args.steps * args.batch / dt, 1),
             "val": prf(val),
             "train": prf(train),
-            "thresholds": {"pixel": best_thresholds[0],
-                           "link": best_thresholds[1]},
+            "thresholds": ({"score": best_thresholds[0],
+                            "nms": best_thresholds[1]} if is_east else
+                           {"pixel": best_thresholds[0],
+                            "link": best_thresholds[1]}),
             "val_at_best_thresholds": prf(best_val),
         }
         doc = {"runs": []}

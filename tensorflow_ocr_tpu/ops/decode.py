@@ -326,7 +326,7 @@ def east_detect(score_map: jnp.ndarray, geo_map: jnp.ndarray,
     """
     h, w = score_map.shape
     flat = score_map.reshape(-1)
-    vals, idx = jax.lax.top_k(flat, max_boxes)
+    vals, idx = jax.lax.top_k(flat, min(max_boxes, flat.shape[0]))
     valid = vals > score_thresh
     ys = (idx // w).astype(jnp.float32)
     xs = (idx % w).astype(jnp.float32)

@@ -59,13 +59,15 @@ class EvalDuringTraining:
         icfg = self.cfg.infer
 
         if self.is_east:
+            # score_thresh is a TRACED arg: one compile serves any value
+            # (used by the post-training EAST threshold sweep)
             @jax.jit
-            def run(variables, images):
+            def run(variables, images, score_thresh):
                 out = model.apply(variables, images)
 
                 def one(score, geo):
                     return D.east_detect(score[:, :, 0], geo,
-                                         score_thresh=icfg.score_map_thresh)
+                                         score_thresh=score_thresh)
                 return jax.vmap(one)(out["score"], out["geometry"])
         else:
             # thresholds are TRACED args: one compile serves any values
@@ -89,7 +91,9 @@ class EvalDuringTraining:
 
     def __call__(self, model, state, use_ema: bool = True,
                  pixel_thresh: float | None = None,
-                 link_thresh: float | None = None) -> Dict[str, float]:
+                 link_thresh: float | None = None,
+                 score_thresh: float | None = None,
+                 nms_thresh: float | None = None) -> Dict[str, float]:
         if self.images is None:
             return {}
         if self._run is None:
@@ -101,12 +105,17 @@ class EvalDuringTraining:
         x = jnp.asarray(self.images)
         prf = StreamingPRF(self.cfg.eval.matching_iou_threshold)
         if self.is_east:
-            quads, scores, valid = map(np.asarray, self._run(variables, x))
+            st = (self.cfg.infer.score_map_thresh if score_thresh is None
+                  else score_thresh)
+            nt = (self.cfg.infer.nms_thresh if nms_thresh is None
+                  else nms_thresh)
+            quads, scores, valid = map(
+                np.asarray, self._run(variables, x, jnp.float32(st)))
             for b, (gt, ignored) in enumerate(self.gts):
                 polys = np.concatenate(
                     [quads[b].reshape(-1, 8), scores[b][:, None]], 1
                 )[valid[b]]
-                kept = N.locality_aware_nms(polys, self.cfg.infer.nms_thresh)
+                kept = N.locality_aware_nms(polys, nt)
                 boxes = np.array(
                     [k[:8].reshape(4, 2) for k in kept]
                 ).reshape(-1, 4, 2)

@@ -86,9 +86,18 @@ def _weighted_merge(g: np.ndarray, p: np.ndarray) -> np.ndarray:
 
 
 def standard_nms(polys: np.ndarray, thresh: float) -> np.ndarray:
-    """Greedy score-ordered NMS on (N, 9) rows."""
+    """Greedy score-ordered NMS on (N, 9) rows.
+
+    The exact quad IoU runs only for pairs whose axis-aligned bounding
+    boxes overlap (vectorized prefilter) — without it the O(N^2) Python
+    pair loop on a dense early-training score map (2k candidates) takes
+    minutes per image.
+    """
     if len(polys) == 0:
         return polys
+    quads = polys[:, :8].reshape(-1, 4, 2)
+    xmin, ymin = quads[:, :, 0].min(1), quads[:, :, 1].min(1)
+    xmax, ymax = quads[:, :, 0].max(1), quads[:, :, 1].max(1)
     order = np.argsort(-polys[:, 8])
     keep = []
     suppressed = np.zeros(len(polys), bool)
@@ -96,16 +105,18 @@ def standard_nms(polys: np.ndarray, thresh: float) -> np.ndarray:
         if suppressed[i]:
             continue
         keep.append(i)
-        pi = polys[i, :8].reshape(4, 2)
-        for j in order:
-            if j == i or suppressed[j]:
-                continue
-            if quad_iou(pi, polys[j, :8].reshape(4, 2)) > thresh:
+        pi = quads[i]
+        overlap = ~suppressed & (xmin <= xmax[i]) & (xmax >= xmin[i]) \
+            & (ymin <= ymax[i]) & (ymax >= ymin[i])
+        overlap[i] = False
+        for j in np.flatnonzero(overlap):
+            if quad_iou(pi, quads[j]) > thresh:
                 suppressed[j] = True
     return polys[keep]
 
 
-def locality_aware_nms(polys: np.ndarray, thresh: float = 0.3) -> np.ndarray:
+def locality_aware_nms(polys: np.ndarray, thresh: float = 0.3,
+                       max_candidates: int = 1024) -> np.ndarray:
     """EAST locality-aware NMS.
 
     polys: (N, 9) float — rows are raster-order detections
@@ -115,6 +126,11 @@ def locality_aware_nms(polys: np.ndarray, thresh: float = 0.3) -> np.ndarray:
     """
     if len(polys) == 0:
         return polys.reshape(0, 9)
+    if max_candidates and len(polys) > max_candidates:
+        # keep the top-K by score but preserve raster order (the merge
+        # pass depends on row adjacency)
+        top = np.argpartition(-polys[:, 8], max_candidates)[:max_candidates]
+        polys = polys[np.sort(top)]
     merged = []
     g = None
     for p in polys:

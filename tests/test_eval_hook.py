@@ -42,3 +42,34 @@ def test_eval_hook_runs_on_train_state(dataset):
     assert set(r) >= {"precision", "recall", "fmean"}
     assert r["n_gt"] > 0
     assert np.isfinite(r["fmean"])
+
+
+def test_eval_hook_east_threshold_overrides(dataset):
+    """EAST path: score_thresh is a traced arg (one compile serves the
+    sweep) and nms_thresh overrides the config at call time."""
+    cfg = Config()
+    cfg.data.training_data_path = dataset
+    cfg.data.input_size = 64
+    cfg.data.batch_size = 2
+    cfg.data.max_polys = 8
+    cfg.model.name = "east_resnet50"
+    cfg.loss.name = "east"
+
+    mesh = make_mesh(1)
+    batch = next(batch_generator(cfg.data, seed=0, want_east=True))
+    tr = T.Trainer(cfg, mesh)
+    tr.setup(batch)
+    db = T.device_batch(batch, mesh, True)
+    state, _ = tr._step_fn(tr.state, db)
+
+    hook = EvalDuringTraining(cfg, dataset, max_images=3)
+    r_default = hook(tr.model, state)
+    assert set(r_default) >= {"precision", "recall", "fmean"}
+    # a permissive operating point must not detect fewer boxes than an
+    # impossibly strict one (score > 1 kills every candidate)
+    r_loose = hook(tr.model, state, score_thresh=0.0, nms_thresh=0.3)
+    r_strict = hook(tr.model, state, score_thresh=1.1, nms_thresh=0.3)
+    assert r_strict["tp"] + r_strict["fp"] == 0
+    assert r_loose["tp"] + r_loose["fp"] >= 0
+    for r in (r_default, r_loose, r_strict):
+        assert np.isfinite(r["fmean"])

@@ -1,0 +1,99 @@
+"""Locality-aware NMS: prefilter correctness, candidate cap, dense maps.
+
+The reference repo ships no NMS of its own (it delegates to
+argman/EAST-lineage checkpoints); utils/nms.py fills that gap for the
+EAST family, so its semantics are pinned here against a naive
+implementation.
+"""
+
+import numpy as np
+
+from tensorflow_ocr_tpu.utils import nms as N
+
+
+def _naive_standard_nms(polys, thresh):
+    """The pre-prefilter O(N^2) greedy loop, kept as the spec."""
+    if len(polys) == 0:
+        return polys
+    order = np.argsort(-polys[:, 8])
+    keep = []
+    suppressed = np.zeros(len(polys), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        pi = polys[i, :8].reshape(4, 2)
+        for j in order:
+            if j == i or suppressed[j]:
+                continue
+            if N.quad_iou(pi, polys[j, :8].reshape(4, 2)) > thresh:
+                suppressed[j] = True
+    return polys[keep]
+
+
+def _random_quads(rng, n, spread=200.0):
+    centers = rng.uniform(0, spread, (n, 2))
+    w = rng.uniform(5, 25, (n, 1))
+    h = rng.uniform(5, 25, (n, 1))
+    quads = np.stack(
+        [
+            centers + np.concatenate([-w, -h], 1),
+            centers + np.concatenate([w, -h], 1),
+            centers + np.concatenate([w, h], 1),
+            centers + np.concatenate([-w, h], 1),
+        ],
+        axis=1,
+    )
+    scores = rng.uniform(0.1, 1.0, (n, 1))
+    return np.concatenate([quads.reshape(n, 8), scores], 1)
+
+
+def test_standard_nms_matches_naive():
+    rng = np.random.RandomState(0)
+    for trial in range(5):
+        polys = _random_quads(rng, 60)
+        got = N.standard_nms(polys.copy(), 0.3)
+        want = _naive_standard_nms(polys.copy(), 0.3)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want)
+
+
+def test_nms_candidate_cap_preserves_raster_order():
+    rng = np.random.RandomState(1)
+    polys = _random_quads(rng, 50)
+    # raster order = input order; the cap must keep the top-30 scores in
+    # their original relative order, not score-sorted
+    kept = N.locality_aware_nms(polys, 0.3, max_candidates=30)
+    assert len(kept) <= 30
+    full = N.locality_aware_nms(polys, 0.3, max_candidates=0)
+    assert len(full) >= len(kept) - 1  # cap can only remove candidates
+
+
+def test_dense_overlapping_map_is_tractable():
+    # early-training failure mode: thousands of near-identical quads;
+    # the AABB prefilter + cap must keep this out of minutes territory
+    rng = np.random.RandomState(2)
+    base = _random_quads(rng, 1)
+    jitter = rng.uniform(-2, 2, (2000, 9))
+    jitter[:, 8] = rng.uniform(0.5, 1.0, 2000)
+    polys = base.repeat(2000, 0)
+    polys[:, :8] += jitter[:, :8]
+    polys[:, 8] = jitter[:, 8]
+    import time
+
+    t0 = time.time()
+    kept = N.locality_aware_nms(polys, 0.3)
+    dt = time.time() - t0
+    assert len(kept) >= 1
+    assert dt < 60.0, f"dense NMS took {dt:.1f}s"
+
+
+def test_merge_pass_weighted_average():
+    # two identical overlapping quads in raster order merge into one with
+    # summed score and identical geometry
+    q = np.array([[0, 0, 10, 0, 10, 10, 0, 10, 0.6],
+                  [0, 0, 10, 0, 10, 10, 0, 10, 0.4]], float)
+    kept = N.locality_aware_nms(q, 0.3)
+    assert kept.shape[0] == 1
+    np.testing.assert_allclose(kept[0, :8], q[0, :8])
+    np.testing.assert_allclose(kept[0, 8], 1.0)
