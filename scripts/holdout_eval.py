@@ -29,6 +29,14 @@ def main():
     ap.add_argument("--val-images", type=int, default=16)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--loss", default=None,
+                    help="override the default family loss (ohem for "
+                         "pixel/link heads, east for EAST) — e.g. "
+                         "'focal' to validate the BASELINE focal-EAST "
+                         "config, 'dice'")
+    ap.add_argument("--input-size", type=int, default=512,
+                    help="train/eval square size (multiple of 32); the "
+                         "BASELINE heavy-aug focal config runs 768")
     ap.add_argument("--pretrain-steps", type=int, default=0,
                     help="first train this many steps on an EASY synthetic "
                          "set and warm-start the hard training from that "
@@ -73,18 +81,22 @@ def main():
 
     hard = "v2" if args.scenes == "v2" else True
     suffix = "_v2" if args.scenes == "v2" else ""
+    if args.input_size != 512:
+        suffix += f"_{args.input_size}"
+    size = args.input_size
     train_dir = f"/tmp/holdout_train{suffix}"
     val_dir = f"/tmp/holdout_val{suffix}"
-    make_synthetic_dataset(train_dir, args.train_images, (512, 512),
+    make_synthetic_dataset(train_dir, args.train_images, (size, size),
                            seed=0, hard=hard)
-    make_synthetic_dataset(val_dir, args.val_images, (512, 512),
+    make_synthetic_dataset(val_dir, args.val_images, (size, size),
                            seed=1, hard=hard)
 
     def base_cfg():
         cfg = Config()
         cfg.model.name = args.model
-        cfg.loss.name = "east" if args.model.startswith("east") else "ohem"
-        cfg.data.input_size = 512
+        cfg.loss.name = args.loss or (
+            "east" if args.model.startswith("east") else "ohem")
+        cfg.data.input_size = size
         cfg.data.batch_size = args.batch
         cfg.data.max_polys = 16
         cfg.data.min_text_size = 5
@@ -221,6 +233,8 @@ def main():
             "steps": args.steps,
             "batch": args.batch,
             "lr": args.lr,
+            "loss": cfg.loss.name,
+            "input_size": size,
             "recipe": {
                 "pretrain_steps": args.pretrain_steps,
                 "freeze_bn": args.freeze_bn,
