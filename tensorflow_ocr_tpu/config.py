@@ -118,6 +118,12 @@ class TrainConfig:
     save_summary_steps: int = 20
     pretrained_model_path: Optional[str] = None
     log_every_steps: int = 10
+    # warn (never kill) when no train step completes for this many
+    # seconds — a hung device RPC (e.g. a dropped TPU-tunnel connection)
+    # or a dead input-pipeline worker blocks the loop with no traceback;
+    # the reference's sess.run loop had the same silent failure mode.
+    # 0 disables.
+    stall_warn_secs: float = 300.0
     seed: int = 0
     # Data parallel axis size; None = all visible devices.
     num_devices: Optional[int] = None

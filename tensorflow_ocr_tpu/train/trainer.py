@@ -498,6 +498,56 @@ def warm_start(params, pretrained_params, exclude_scopes=()):
 # --------------------------------------------------------------------------
 
 
+class StallWatchdog:
+    """Logs when no train step completes within ``interval_s`` seconds.
+
+    A hung device RPC (dropped TPU-tunnel connection, stuck collective)
+    or a dead input-pipeline worker blocks the train loop inside a fetch
+    with no Python traceback — the process sits at load 0 forever, the
+    same silent failure mode as the reference's ``sess.run`` loop.
+    Blocked JAX calls release the GIL, so a daemon thread can still
+    report. Diagnostic only: it never kills anything. Repeated warnings
+    back off linearly (1x, 2x, 3x the interval).
+    """
+
+    def __init__(self, interval_s: float, name: str = "train"):
+        import threading
+
+        self.interval = float(interval_s or 0)
+        self.name = name
+        self._last = time.time()
+        self._last_step = -1
+        self._warned = 0
+        self._stop = threading.Event()
+        self._thread = None
+        if self.interval > 0:
+            self._thread = threading.Thread(
+                target=self._loop, daemon=True,
+                name=f"stall-watchdog-{name}")
+            self._thread.start()
+
+    def beat(self, step: int):
+        self._last = time.time()
+        self._last_step = step
+        self._warned = 0
+
+    def _loop(self):
+        poll = min(self.interval, 30.0)
+        while not self._stop.wait(poll):
+            idle = time.time() - self._last
+            if idle > self.interval * (self._warned + 1):
+                self._warned += 1
+                print(
+                    f"[watchdog:{self.name}] no step completed for "
+                    f"{idle:.0f}s (last step {self._last_step}); device "
+                    f"RPC or input pipeline may be hung", flush=True)
+
+    def stop(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=1.0)
+
+
 class Trainer:
     """Session-loop equivalent (multigpu_train.py:152-194) with NaN guard,
     throughput meter, periodic checkpoint + summaries, and preemption
@@ -600,37 +650,42 @@ class Trainer:
         t0 = time.time()
         last_metrics: Dict[str, float] = {}
         window = cfg.log_every_steps
-        for step in range(max_steps):
-            batch = next(batches) if hasattr(batches, "__next__") else batches[step]
-            db = device_batch(batch, self.mesh, self.want_east)
-            self.state, metrics = self._step_fn(self.state, db)
-            if step % window == 0:
-                metrics = jax.device_get(metrics)
-                last_metrics = {k: float(v) for k, v in metrics.items()}
-                tl = last_metrics.get("total_loss", float("nan"))
-                if np.isnan(tl):
-                    print("Loss diverged, stop training")
+        dog = StallWatchdog(cfg.stall_warn_secs)
+        try:
+            for step in range(max_steps):
+                batch = next(batches) if hasattr(batches, "__next__") else batches[step]
+                db = device_batch(batch, self.mesh, self.want_east)
+                self.state, metrics = self._step_fn(self.state, db)
+                if step % window == 0:
+                    metrics = jax.device_get(metrics)
+                    dog.beat(step)
+                    last_metrics = {k: float(v) for k, v in metrics.items()}
+                    tl = last_metrics.get("total_loss", float("nan"))
+                    if np.isnan(tl):
+                        print("Loss diverged, stop training")
+                        break
+                    dt = time.time() - t0
+                    t0 = time.time()
+                    n_img = batch["images"].shape[0] * window
+                    print(
+                        f"Step {step:06d}, model loss {last_metrics.get('model_loss', 0):.4f}, "
+                        f"total loss {tl:.4f}, {dt / window:.3f} s/step, "
+                        f"{n_img / dt:.1f} examples/s"
+                    )
+                    if self.summary_writer is not None:
+                        for k, v in last_metrics.items():
+                            self.summary_writer.add_scalar(k, v, step)
+                if (self.summary_writer is not None
+                        and cfg.save_summary_steps
+                        and step % cfg.save_summary_steps == 0
+                        and hasattr(self.summary_writer, "add_detection_summaries")):
+                    self._emit_image_summaries(batch, step)
+                if cfg.save_checkpoint_steps and step > 0 and step % cfg.save_checkpoint_steps == 0:
+                    save_checkpoint(cfg.checkpoint_path, self.state, batches)
+                if self._maybe_handle_preemption(batches):
                     break
-                dt = time.time() - t0
-                t0 = time.time()
-                n_img = batch["images"].shape[0] * window
-                print(
-                    f"Step {step:06d}, model loss {last_metrics.get('model_loss', 0):.4f}, "
-                    f"total loss {tl:.4f}, {dt / window:.3f} s/step, "
-                    f"{n_img / dt:.1f} examples/s"
-                )
-                if self.summary_writer is not None:
-                    for k, v in last_metrics.items():
-                        self.summary_writer.add_scalar(k, v, step)
-            if (self.summary_writer is not None
-                    and cfg.save_summary_steps
-                    and step % cfg.save_summary_steps == 0
-                    and hasattr(self.summary_writer, "add_detection_summaries")):
-                self._emit_image_summaries(batch, step)
-            if cfg.save_checkpoint_steps and step > 0 and step % cfg.save_checkpoint_steps == 0:
-                save_checkpoint(cfg.checkpoint_path, self.state, batches)
-            if self._maybe_handle_preemption(batches):
-                break
+        finally:
+            dog.stop()
         return last_metrics
 
     def run_device_cached(self, max_steps: Optional[int] = None) -> Dict[str, float]:
@@ -668,6 +723,19 @@ class Trainer:
         t0 = time.time()
         last: Dict[str, float] = {}
         step = 0
+        dog = StallWatchdog(cfg.train.stall_warn_secs, name="scan")
+        try:
+            return self._device_cached_loop(
+                cfg, ds, ds_dev, idx_sh, multi, rng, s, batch, max_steps,
+                dog)
+        finally:
+            dog.stop()
+
+    def _device_cached_loop(self, cfg, ds, ds_dev, idx_sh, multi, rng, s,
+                            batch, max_steps, dog):
+        t0 = time.time()
+        last: Dict[str, float] = {}
+        step = 0
         while step < max_steps:
             idx = ds.index_batches(batch, s, rng)
             self.state, metrics = multi(
@@ -675,6 +743,7 @@ class Trainer:
             )
             step += s
             last = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            dog.beat(step)
             if np.isnan(last.get("total_loss", 0.0)):
                 print("Loss diverged, stop training")
                 break

@@ -189,3 +189,28 @@ def test_trainer_run_loop(dataset, capsys):
     assert "total_loss" in metrics
     out = capsys.readouterr().out
     assert "examples/s" in out
+
+
+def test_stall_watchdog_warns_and_resets(capsys):
+    import time as _time
+
+    from tensorflow_ocr_tpu.train.trainer import StallWatchdog
+
+    dog = StallWatchdog(0.2, name="t")
+    try:
+        _time.sleep(0.7)
+        out = capsys.readouterr().out
+        assert "[watchdog:t]" in out and "may be hung" in out
+        dog.beat(5)
+        _time.sleep(0.1)
+        assert "[watchdog:t]" not in capsys.readouterr().out
+    finally:
+        dog.stop()
+
+
+def test_stall_watchdog_disabled():
+    from tensorflow_ocr_tpu.train.trainer import StallWatchdog
+
+    dog = StallWatchdog(0)
+    assert dog._thread is None
+    dog.stop()
