@@ -19,6 +19,48 @@ import time
 _T0 = time.time()
 
 
+def _require_backend(timeout_s: float = 300.0):
+    """Fail fast (with a diagnostic JSON line) if the device backend
+    cannot initialize.
+
+    The tunneled TPU runtime can go UNAVAILABLE or hang indefinitely at
+    client setup (observed in practice); without this guard the bench
+    blocks opaquely until the caller's timeout and the artifact carries
+    nothing. A worker thread attempts `jax.devices()`; if it neither
+    returns nor raises within `timeout_s`, or raises, we print the
+    standard JSON schema with value 0 + an `error` field and exit 3.
+    """
+    import threading
+
+    result = {}
+
+    def probe():
+        try:
+            import jax
+
+            result["devices"] = [str(d) for d in jax.devices()]
+        except Exception as e:  # init raised (e.g. UNAVAILABLE)
+            result["error"] = f"{type(e).__name__}: {e}"
+
+    timeout_s = float(os.environ.get("BENCH_INIT_TIMEOUT_S", timeout_s))
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    err = result.get("error") if not t.is_alive() else (
+        f"backend init did not complete within {timeout_s:.0f}s")
+    if "devices" in result:
+        return
+    print(json.dumps({
+        "metric": "train_images_per_sec_per_chip_512",
+        "value": 0.0,
+        "unit": "images/sec/chip",
+        "vs_baseline": 0.0,
+        "error": err,
+    }))
+    sys.stdout.flush()
+    os._exit(3)
+
+
 def detect_latency_main():
     """BENCH_MODE=detect: p50 single-image detect latency (ms) at the
     reference's 1280x768 PixelLink eval shape (test_pixellink.py:17-18)."""
@@ -159,6 +201,7 @@ def serve_throughput_main():
 
 
 def main():
+    _require_backend()
     if os.environ.get("BENCH_MODE") == "detect":
         detect_latency_main()
         return
