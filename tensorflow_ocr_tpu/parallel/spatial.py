@@ -28,6 +28,53 @@ def make_spatial_mesh(num_devices: Optional[int] = None,
     return Mesh(np.asarray(devs), (SPATIAL_AXIS,))
 
 
+def make_hybrid_mesh(data: int, space: int,
+                     devices: Optional[list] = None) -> Mesh:
+    """2-D (data, space) mesh: batch DP x spatial sharding in one
+    program — the pod-serving layout (e.g. v5e-16 as 4x4: batch 4-way,
+    each image's H 4-way). Lays `space` along the fastest-varying device
+    axis so halo exchanges ride neighbor ICI links."""
+    from tensorflow_ocr_tpu.parallel.mesh import DATA_AXIS
+
+    devs = devices if devices is not None else jax.devices()
+    need = data * space
+    if len(devs) < need:
+        raise ValueError(
+            f"hybrid mesh needs {need} devices, have {len(devs)}")
+    grid = np.asarray(devs[:need]).reshape(data, space)
+    return Mesh(grid, (DATA_AXIS, SPATIAL_AXIS))
+
+
+def hybrid_forward(model, variables, mesh: Mesh):
+    """Jitted forward sharded on BOTH batch and image height.
+
+    Input (B, H, W, C): B split over ``data``, H over ``space``;
+    parameters replicated; GSPMD inserts the conv/pool halo exchanges
+    and keeps per-chip activation memory at (B/d)x(H/s) of the whole.
+    B must divide by the data axis and H by 32*space. Outputs replicate
+    for host fetch.
+    """
+    from tensorflow_ocr_tpu.parallel.mesh import DATA_AXIS
+
+    img_sharding = NamedSharding(
+        mesh, P(DATA_AXIS, SPATIAL_AXIS, None, None))
+    rep = NamedSharding(mesh, P())
+
+    @jax.jit
+    def fwd(variables, images):
+        out = model.apply(variables, images)
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(x, rep), out
+        )
+
+    def run(images):
+        x = jax.device_put(np.asarray(images), img_sharding)
+        v = jax.device_put(variables, rep)
+        return fwd(v, x)
+
+    return run
+
+
 def spatial_forward(model, variables, mesh: Mesh):
     """Returns a jitted forward whose input is sharded on the H axis.
 
