@@ -50,10 +50,15 @@ def _require_backend(timeout_s: float = 300.0):
         f"backend init did not complete within {timeout_s:.0f}s")
     if "devices" in result:
         return
+    metric, unit = {
+        "detect": ("detect_latency_p50_ms", "ms"),
+        "serve": ("serve_images_per_sec_1280x768", "images/sec"),
+    }.get(os.environ.get("BENCH_MODE", ""),
+          ("train_images_per_sec_per_chip_512", "images/sec/chip"))
     print(json.dumps({
-        "metric": "train_images_per_sec_per_chip_512",
+        "metric": metric,
         "value": 0.0,
-        "unit": "images/sec/chip",
+        "unit": unit,
         "vs_baseline": 0.0,
         "error": err,
     }))

@@ -111,9 +111,13 @@ def main():
 
     pretrain_ckpt = None
     if args.pretrain_steps > 0:
-        easy_dir = "/tmp/holdout_pretrain"
-        pretrain_ckpt = "/tmp/holdout_pretrain_ckpt/"
-        make_synthetic_dataset(easy_dir, args.train_images, (512, 512),
+        # per-size dirs: the easy set must be rendered at the SAME
+        # resolution the run trains at, or the warm start validates a
+        # different (upscaled) regime than claimed
+        psuf = f"_{size}" if size != 512 else ""
+        easy_dir = f"/tmp/holdout_pretrain{psuf}"
+        pretrain_ckpt = f"/tmp/holdout_pretrain_ckpt{psuf}/"
+        make_synthetic_dataset(easy_dir, args.train_images, (size, size),
                                seed=2, hard=False)
         pcfg = base_cfg()
         pcfg.data.training_data_path = easy_dir

@@ -164,6 +164,9 @@ class InferConfig:
     score_map_thresh: float = 0.8
     box_thresh: float = 0.1
     nms_thresh: float = 0.2
+    # host LANMS input cap (top-K by score, raster order preserved);
+    # bounds the O(K^2) suppression loop on dense score maps. 0 = no cap.
+    nms_max_candidates: int = 1024
 
 
 @dataclass

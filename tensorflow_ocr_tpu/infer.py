@@ -162,7 +162,8 @@ class Predictor:
                 polys = np.concatenate(
                     [quads[b].reshape(-1, 8), scores[b][:, None]], axis=1
                 )[valid[b]]
-                kept = N.locality_aware_nms(polys, icfg.nms_thresh)
+                kept = N.locality_aware_nms(polys, icfg.nms_thresh,
+                                            icfg.nms_max_candidates)
                 results.append(
                     [k[:8].reshape(4, 2) for k in kept
                      if k[8] > icfg.box_thresh]
@@ -235,7 +236,8 @@ class Predictor:
             polys = np.concatenate(
                 [quads.reshape(-1, 8), scores[:, None]], axis=1
             )[valid]
-            kept = N.locality_aware_nms(polys, icfg.nms_thresh)
+            kept = N.locality_aware_nms(polys, icfg.nms_thresh,
+                                            icfg.nms_max_candidates)
             boxes = [k[:8].reshape(4, 2) for k in kept if k[8] > icfg.box_thresh]
         else:
             raw_boxes, sizes, valid = run(self.variables, x)

@@ -45,56 +45,48 @@ def make_hybrid_mesh(data: int, space: int,
     return Mesh(grid, (DATA_AXIS, SPATIAL_AXIS))
 
 
+def _sharded_forward(model, variables, mesh: Mesh, img_spec: P):
+    """Jitted forward with the input sharded per ``img_spec``; params are
+    transferred replicated ONCE at build time (not per call — a serving
+    hot loop must not re-ship the full parameter tree every batch);
+    outputs replicate for host fetch."""
+    img_sharding = NamedSharding(mesh, img_spec)
+    rep = NamedSharding(mesh, P())
+    v_dev = jax.device_put(variables, rep)
+
+    @jax.jit
+    def fwd(variables, images):
+        out = model.apply(variables, images)
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(x, rep), out
+        )
+
+    def run(images):
+        x = jax.device_put(np.asarray(images), img_sharding)
+        return fwd(v_dev, x)
+
+    return run
+
+
 def hybrid_forward(model, variables, mesh: Mesh):
-    """Jitted forward sharded on BOTH batch and image height.
+    """Forward sharded on BOTH batch and image height.
 
     Input (B, H, W, C): B split over ``data``, H over ``space``;
     parameters replicated; GSPMD inserts the conv/pool halo exchanges
     and keeps per-chip activation memory at (B/d)x(H/s) of the whole.
-    B must divide by the data axis and H by 32*space. Outputs replicate
-    for host fetch.
+    B must divide by the data axis and H by 32*space.
     """
     from tensorflow_ocr_tpu.parallel.mesh import DATA_AXIS
 
-    img_sharding = NamedSharding(
-        mesh, P(DATA_AXIS, SPATIAL_AXIS, None, None))
-    rep = NamedSharding(mesh, P())
-
-    @jax.jit
-    def fwd(variables, images):
-        out = model.apply(variables, images)
-        return jax.tree_util.tree_map(
-            lambda x: jax.lax.with_sharding_constraint(x, rep), out
-        )
-
-    def run(images):
-        x = jax.device_put(np.asarray(images), img_sharding)
-        v = jax.device_put(variables, rep)
-        return fwd(v, x)
-
-    return run
+    return _sharded_forward(
+        model, variables, mesh, P(DATA_AXIS, SPATIAL_AXIS, None, None))
 
 
 def spatial_forward(model, variables, mesh: Mesh):
-    """Returns a jitted forward whose input is sharded on the H axis.
+    """Forward whose input is sharded on the H axis.
 
     The image (B, H, W, C) is split over ``space``; H must be divisible by
-    the mesh size (pad to a multiple of 32*n first). Outputs are resharded
-    to replicated for host fetch.
+    the mesh size (pad to a multiple of 32*n first).
     """
-    img_sharding = NamedSharding(mesh, P(None, SPATIAL_AXIS, None, None))
-    rep = NamedSharding(mesh, P())
-
-    @jax.jit
-    def fwd(variables, images):
-        out = model.apply(variables, images)
-        return jax.tree_util.tree_map(
-            lambda x: jax.lax.with_sharding_constraint(x, rep), out
-        )
-
-    def run(images):
-        x = jax.device_put(np.asarray(images), img_sharding)
-        v = jax.device_put(variables, rep)
-        return fwd(v, x)
-
-    return run
+    return _sharded_forward(
+        model, variables, mesh, P(None, SPATIAL_AXIS, None, None))

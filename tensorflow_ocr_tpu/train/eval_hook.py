@@ -115,7 +115,8 @@ class EvalDuringTraining:
                 polys = np.concatenate(
                     [quads[b].reshape(-1, 8), scores[b][:, None]], 1
                 )[valid[b]]
-                kept = N.locality_aware_nms(polys, nt)
+                kept = N.locality_aware_nms(
+                    polys, nt, self.cfg.infer.nms_max_candidates)
                 boxes = np.array(
                     [k[:8].reshape(4, 2) for k in kept]
                 ).reshape(-1, 4, 2)

@@ -537,10 +537,20 @@ class StallWatchdog:
             idle = time.time() - self._last
             if idle > self.interval * (self._warned + 1):
                 self._warned += 1
-                print(
-                    f"[watchdog:{self.name}] no step completed for "
-                    f"{idle:.0f}s (last step {self._last_step}); device "
-                    f"RPC or input pipeline may be hung", flush=True)
+                if self._last_step < 0:
+                    # before the first heartbeat the likeliest cause is
+                    # the first-dispatch XLA compile (minutes on remote
+                    # runtimes) — say so instead of crying hang
+                    print(
+                        f"[watchdog:{self.name}] first step not complete "
+                        f"after {idle:.0f}s — XLA compile in progress, or "
+                        f"the backend is hung", flush=True)
+                else:
+                    print(
+                        f"[watchdog:{self.name}] no step completed for "
+                        f"{idle:.0f}s (last step {self._last_step}; "
+                        f"heartbeats fire every log window); device RPC "
+                        f"or input pipeline may be hung", flush=True)
 
     def stop(self):
         self._stop.set()
@@ -720,9 +730,6 @@ class Trainer:
         s = cfg.train.scan_steps
         batch = cfg.data.batch_size
         max_steps = max_steps or cfg.train.max_steps
-        t0 = time.time()
-        last: Dict[str, float] = {}
-        step = 0
         dog = StallWatchdog(cfg.train.stall_warn_secs, name="scan")
         try:
             return self._device_cached_loop(

@@ -129,6 +129,12 @@ def locality_aware_nms(polys: np.ndarray, thresh: float = 0.3,
     if max_candidates and len(polys) > max_candidates:
         # keep the top-K by score but preserve raster order (the merge
         # pass depends on row adjacency)
+        import warnings
+
+        warnings.warn(
+            f"locality_aware_nms: {len(polys)} candidates capped to the "
+            f"top {max_candidates} by score (cfg.infer.nms_max_candidates; "
+            f"0 disables)", RuntimeWarning, stacklevel=2)
         top = np.argpartition(-polys[:, 8], max_candidates)[:max_candidates]
         polys = polys[np.sort(top)]
     merged = []

@@ -59,14 +59,35 @@ def test_standard_nms_matches_naive():
 
 
 def test_nms_candidate_cap_preserves_raster_order():
+    # the cap must keep the top-K scores in their ORIGINAL relative
+    # (raster) order — the merge pass depends on row adjacency. Pin it
+    # directly: capped call == manual top-K slice in input order.
     rng = np.random.RandomState(1)
     polys = _random_quads(rng, 50)
-    # raster order = input order; the cap must keep the top-30 scores in
-    # their original relative order, not score-sorted
-    kept = N.locality_aware_nms(polys, 0.3, max_candidates=30)
-    assert len(kept) <= 30
-    full = N.locality_aware_nms(polys, 0.3, max_candidates=0)
-    assert len(full) >= len(kept) - 1  # cap can only remove candidates
+    K = 30
+    top = np.sort(np.argpartition(-polys[:, 8], K)[:K])
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        kept = N.locality_aware_nms(polys, 0.3, max_candidates=K)
+    want = N.locality_aware_nms(polys[top], 0.3, max_candidates=0)
+    np.testing.assert_allclose(kept, want)
+
+
+def test_nms_cap_warns_when_triggered():
+    import warnings
+
+    rng = np.random.RandomState(3)
+    polys = _random_quads(rng, 20)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        N.locality_aware_nms(polys, 0.3, max_candidates=10)
+    assert any("capped" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        N.locality_aware_nms(polys, 0.3, max_candidates=0)  # uncapped
+    assert not w
 
 
 def test_dense_overlapping_map_is_tractable():

@@ -200,10 +200,15 @@ def test_stall_watchdog_warns_and_resets(capsys):
     try:
         _time.sleep(0.7)
         out = capsys.readouterr().out
-        assert "[watchdog:t]" in out and "may be hung" in out
+        # before any heartbeat: the compile-aware message
+        assert "[watchdog:t]" in out and "first step not complete" in out
         dog.beat(5)
         _time.sleep(0.1)
         assert "[watchdog:t]" not in capsys.readouterr().out
+        # after a heartbeat goes stale: the hang message names the step
+        _time.sleep(0.7)
+        out = capsys.readouterr().out
+        assert "may be hung" in out and "last step 5" in out
     finally:
         dog.stop()
 
