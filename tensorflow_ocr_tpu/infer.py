@@ -237,7 +237,7 @@ class Predictor:
                 [quads.reshape(-1, 8), scores[:, None]], axis=1
             )[valid]
             kept = N.locality_aware_nms(polys, icfg.nms_thresh,
-                                            icfg.nms_max_candidates)
+                                        icfg.nms_max_candidates)
             boxes = [k[:8].reshape(4, 2) for k in kept if k[8] > icfg.box_thresh]
         else:
             raw_boxes, sizes, valid = run(self.variables, x)
