@@ -376,22 +376,59 @@ def _ckpt_dir(path: str, step: int) -> str:
 DATA_ITER_STATE_FILE = "grain_iter_state.bin"
 
 
-def save_checkpoint(path: str, state: TrainState, data_iter=None) -> str:
+_PENDING_SAVE: Optional[Any] = None
+
+
+def wait_for_pending_save() -> None:
+    """Join the in-flight async checkpoint write, if any."""
+    global _PENDING_SAVE
+    if _PENDING_SAVE is not None:
+        _PENDING_SAVE.join()
+        _PENDING_SAVE = None
+
+
+def save_checkpoint(path: str, state: TrainState, data_iter=None,
+                    block: bool = True) -> str:
     """Save the train state; if ``data_iter`` exposes ``get_state()``
     (data/grain_pipeline.CheckpointableLoader), persist the exact data
     position next to it so resume replays the remaining sample sequence
     (beyond the reference's step-only --restore, multigpu_train.py:152-158).
+
+    ``block=False`` snapshots the state to host synchronously (required:
+    the donated device buffers are reused by the next step) but performs
+    the disk write on a background thread so training keeps dispatching.
+    Saves are strictly ordered (a new one joins the previous first); call
+    :func:`wait_for_pending_save` before reading the checkpoint or
+    exiting. The thread is non-daemon, so an in-flight save completes
+    even if the main thread returns.
     """
     import orbax.checkpoint as ocp
 
     step = int(state.step)
     d = _ckpt_dir(path, step)
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(d, jax.device_get(state), force=True)
-    ckptr.wait_until_finished()
-    if data_iter is not None and hasattr(data_iter, "get_state"):
-        with open(os.path.join(d, DATA_ITER_STATE_FILE), "wb") as f:
-            f.write(data_iter.get_state())
+    host_state = jax.device_get(state)
+    iter_state = (data_iter.get_state()
+                  if data_iter is not None and hasattr(data_iter, "get_state")
+                  else None)
+
+    def write():
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(d, host_state, force=True)
+        ckptr.wait_until_finished()
+        if iter_state is not None:
+            with open(os.path.join(d, DATA_ITER_STATE_FILE), "wb") as f:
+                f.write(iter_state)
+
+    wait_for_pending_save()
+    if block:
+        write()
+    else:
+        import threading
+
+        global _PENDING_SAVE
+        _PENDING_SAVE = threading.Thread(
+            target=write, daemon=False, name="ckpt-writer")
+        _PENDING_SAVE.start()
     return d
 
 
@@ -691,11 +728,13 @@ class Trainer:
                         and hasattr(self.summary_writer, "add_detection_summaries")):
                     self._emit_image_summaries(batch, step)
                 if cfg.save_checkpoint_steps and step > 0 and step % cfg.save_checkpoint_steps == 0:
-                    save_checkpoint(cfg.checkpoint_path, self.state, batches)
+                    save_checkpoint(cfg.checkpoint_path, self.state, batches,
+                                    block=False)
                 if self._maybe_handle_preemption(batches):
                     break
         finally:
             dog.stop()
+            wait_for_pending_save()
         return last_metrics
 
     def run_device_cached(self, max_steps: Optional[int] = None) -> Dict[str, float]:
@@ -737,6 +776,7 @@ class Trainer:
                 dog)
         finally:
             dog.stop()
+            wait_for_pending_save()
 
     def _device_cached_loop(self, cfg, ds, ds_dev, idx_sh, multi, rng, s,
                             batch, max_steps, dog):
@@ -766,7 +806,8 @@ class Trainer:
                     self.summary_writer.add_scalar(k, v, step)
             if (cfg.train.save_checkpoint_steps
                     and step % max(cfg.train.save_checkpoint_steps, s) == 0):
-                save_checkpoint(cfg.train.checkpoint_path, self.state)
+                save_checkpoint(cfg.train.checkpoint_path, self.state,
+                                block=False)
             if (self.eval_hook is not None and cfg.train.eval_every_steps
                     and step % max(cfg.train.eval_every_steps, s) == 0):
                 r = self.eval_hook(self.model, self.state)

@@ -141,6 +141,34 @@ def test_checkpoint_roundtrip(dataset, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_async_checkpoint_save(dataset, tmp_path):
+    """block=False snapshots synchronously, writes on a thread; the
+    checkpoint is complete and loadable after wait_for_pending_save."""
+    cfg = _tiny_cfg(dataset)
+    cfg.train.checkpoint_path = str(tmp_path / "ckpt_async")
+    mesh = make_mesh(1)
+    batch = _one_batch(cfg)
+    tr = T.Trainer(cfg, mesh)
+    tr.setup(batch)
+    db = T.device_batch(batch, mesh, False)
+    state, _ = tr._step_fn(tr.state, db)
+    d = T.save_checkpoint(cfg.train.checkpoint_path, state, block=False)
+    T.wait_for_pending_save()
+    assert T._PENDING_SAVE is None
+    restored = T.restore_checkpoint(d, state)
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.ema_params),
+        jax.tree_util.tree_leaves(restored.ema_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # a second async save (different step) joins the first automatically
+    state2 = state.replace(step=state.step + 1)
+    d2 = T.save_checkpoint(cfg.train.checkpoint_path, state2, block=False)
+    T.wait_for_pending_save()
+    assert T.latest_checkpoint(cfg.train.checkpoint_path) == d2
+
+
 def test_warm_start_merges_matching(dataset):
     cfg = _tiny_cfg(dataset)
     mesh = make_mesh(1)
