@@ -24,3 +24,9 @@ python scripts/holdout_eval.py --scenes v2 --steps 2500 --train-images 64 \
 python scripts/holdout_eval.py --steps 2500 --train-images 64 \
     --pretrain-steps 1000 --model pixellink2s_vgg16 \
     --sweep-thresholds --json "$OUT"
+
+# EAST improved recipe (QUALITY_r03.json last east record: F 0.538/0.573):
+# augmentation underfits at the fair budget, so it gets 2x the schedule.
+python scripts/holdout_eval.py --scenes v2 --steps 5000 --train-images 64 \
+    --pretrain-steps 1000 --augment --sweep-thresholds \
+    --model east_resnet50 --json "$OUT"
