@@ -115,6 +115,14 @@ class TrainConfig:
     checkpoint_path: str = "/tmp/east_resnet_v1_50_rbox/"
     restore: bool = False
     save_checkpoint_steps: int = 1000
+    # Time-based checkpoint cadence (reference train_pixellink.py:370
+    # saves every 300 s via slim.learning.train save_interval_secs);
+    # 0 disables — steps-only cadence. Both cadences may be active;
+    # whichever fires first triggers a save.
+    save_interval_secs: float = 0.0
+    # Retention cap on ckpt_* directories in checkpoint_path (reference
+    # train_pixellink.py:380 Saver max_to_keep=500); 0 = keep all.
+    max_checkpoints_to_keep: int = 0
     save_summary_steps: int = 20
     pretrained_model_path: Optional[str] = None
     log_every_steps: int = 10
@@ -186,6 +194,24 @@ class Config:
 
     def replace(self, **kw: Any) -> "Config":
         return dataclasses.replace(self, **kw)
+
+    def validate(self) -> "Config":
+        """Reject config values that would otherwise be silently ignored.
+
+        The reference accepts ``--geometry`` RBOX|QUAD
+        (datasets/icdar.py:29-30) but only ever generates its link-map
+        "RBOX" labels; here both geometries are implemented for the EAST
+        family and anything else is an error instead of dead config.
+        """
+        if self.data.geometry not in ("RBOX", "QUAD"):
+            raise ValueError(
+                f"data.geometry must be 'RBOX' or 'QUAD', got "
+                f"{self.data.geometry!r}")
+        if self.train.save_interval_secs < 0:
+            raise ValueError("train.save_interval_secs must be >= 0")
+        if self.train.max_checkpoints_to_keep < 0:
+            raise ValueError("train.max_checkpoints_to_keep must be >= 0")
+        return self
 
 
 def _set_by_path(cfg: Config, dotted: str, raw: str) -> None:
@@ -299,4 +325,4 @@ def parse_flags(
         else:
             raise ValueError(f"unknown flag --{key}")
         i += 1
-    return cfg
+    return cfg.validate()

@@ -397,3 +397,52 @@ def min_area_rect_angles(points: jnp.ndarray, mask: jnp.ndarray,
     xs = us * ck - vs * sk
     ys = us * sk + vs * ck
     return jnp.stack([xs, ys], axis=1)
+
+
+def sort_rectangle_jax(poly: jnp.ndarray, eps: float = 1e-4):
+    """Vectorized :func:`sort_rectangle` (reference icdar.py:375-407).
+
+    poly: (..., 4, 2) rectangle corners in any rotation order.
+    Returns (sorted corners clockwise from top-left, angle in [-pi/4, pi/4])
+    with the reference's exact branch structure made branch-free: the
+    lowest-point test, the two-lowest-points (axis-aligned) tie case, and
+    the >45-degree relabeling all become jnp.where selects. Used by the
+    device-side augmentation path to re-canonicalize EAST rects after a
+    similarity transform (rotation changes which corner is "lowest").
+    """
+    poly = jnp.asarray(poly, jnp.float32)
+    y = poly[..., 1]
+    p_low = jnp.argmax(y, axis=-1)  # (...,)
+    ymax = jnp.take_along_axis(y, p_low[..., None], axis=-1)[..., 0]
+    tie = jnp.sum(jnp.abs(y - ymax[..., None]) < eps, axis=-1) >= 2
+
+    # tie branch: start at argmin(x+y), keep order (axis-aligned, angle 0)
+    p0 = jnp.argmin(poly.sum(-1), axis=-1)
+
+    p_right = (p_low - 1) % 4
+
+    def take_pt(i):
+        return jnp.take_along_axis(
+            poly, i[..., None, None].astype(jnp.int32) *
+            jnp.ones((1,) * i.ndim + (1, 2), jnp.int32), axis=-2
+        )[..., 0, :]
+
+    pl, pr = take_pt(p_low), take_pt(p_right)
+    dx = pl[..., 0] - pr[..., 0]
+    dy = pl[..., 1] - pr[..., 1]
+    safe_dx = jnp.where(jnp.abs(dx) < 1e-9, 1.0, dx)
+    angle = jnp.arctan(-dy / safe_dx)
+
+    steep = angle > jnp.pi / 4  # reference: angle/pi*180 > 45
+    base = p_low[..., None] + jnp.arange(4)
+    idx_steep = (base + 2) % 4   # [(p-2)%4, (p-1)%4, p, (p+1)%4]
+    idx_flat = (base + 1) % 4    # [(p+1)%4, (p+2)%4, (p+3)%4, p]
+    idx_tie = (p0[..., None] + jnp.arange(4)) % 4
+    idx = jnp.where(tie[..., None], idx_tie,
+                    jnp.where(steep[..., None], idx_steep, idx_flat))
+    sorted_poly = jnp.take_along_axis(
+        poly, idx[..., None] * jnp.ones((1,) * idx.ndim + (2,), jnp.int32),
+        axis=-2)
+    out_angle = jnp.where(tie, 0.0,
+                          jnp.where(steep, -(jnp.pi / 2 - angle), angle))
+    return sorted_poly, out_angle

@@ -299,7 +299,7 @@ def make_train_step(model, tx, cfg: Config, mesh: Mesh):
 
 
 def make_multi_train_step(model, tx, cfg: Config, mesh: Mesh,
-                          extra_keys: tuple = ()):
+                          extra_keys: tuple = (), augment: bool = False):
     """In-device multi-step training: one dispatch runs S steps via
     lax.scan over index batches gathered from an HBM-resident dataset
     (data/device_cache.DeviceDataset).
@@ -309,15 +309,35 @@ def make_multi_train_step(model, tx, cfg: Config, mesh: Mesh,
     axis, dataset arrays are replicated, gradients pmean'ed per step.
     Amortizes host dispatch + transfer across S steps — the difference
     between ~220 and >2000 images/sec/chip through the tunneled runtime.
+
+    augment=True applies per-image on-device similarity augmentation
+    (data/device_augment) inside the scan body, keyed off state.step —
+    the TPU-native replacement for the reference's host-process
+    random_scale/crop_area workers (datasets/icdar.py:576-619). Labels
+    must then NOT be precomputed (pass no extra_keys).
     """
     step_shard = _make_step_core(model, tx, cfg, include_l2_metric=False)
 
     keys = tuple(BATCH_KEYS) + tuple(extra_keys)
+    if augment:
+        from tensorflow_ocr_tpu.data import device_augment as DA
+
+        assert not extra_keys, (
+            "on-device augmentation rasterizes labels per step; "
+            "precomputed label caches are incompatible")
+        want_east = cfg.model.name.startswith("east")
+        base_key = jax.random.PRNGKey(cfg.train.seed ^ 0x5EED)
 
     def multi(state: TrainState, dataset: Dict[str, jnp.ndarray],
               idx: jnp.ndarray):
         def body(carry, idx_s):
             batch = {k: dataset[k][idx_s] for k in keys}
+            if augment:
+                k = jax.random.fold_in(base_key, carry.step)
+                # decorrelate across data-axis shards
+                k = jax.random.fold_in(k, jax.lax.axis_index(DATA_AXIS))
+                batch = DA.augment_batch(
+                    k, batch, cfg.data, want_east=want_east)
             new_state, metrics = step_shard(carry, batch)
             return new_state, metrics
 
@@ -377,18 +397,52 @@ DATA_ITER_STATE_FILE = "grain_iter_state.bin"
 
 
 _PENDING_SAVE: Optional[Any] = None
+_PENDING_SAVE_ERROR: Optional[BaseException] = None
 
 
 def wait_for_pending_save() -> None:
-    """Join the in-flight async checkpoint write, if any."""
-    global _PENDING_SAVE
+    """Join the in-flight async checkpoint write, if any.
+
+    Re-raises any exception the writer thread hit, so a failed async save
+    cannot masquerade as success (a silently missing/partial checkpoint).
+    """
+    global _PENDING_SAVE, _PENDING_SAVE_ERROR
     if _PENDING_SAVE is not None:
         _PENDING_SAVE.join()
         _PENDING_SAVE = None
+    if _PENDING_SAVE_ERROR is not None:
+        err, _PENDING_SAVE_ERROR = _PENDING_SAVE_ERROR, None
+        raise RuntimeError("async checkpoint write failed") from err
+
+
+def prune_checkpoints(path: str, max_to_keep: int) -> list:
+    """Delete the oldest ``ckpt_*`` dirs beyond ``max_to_keep`` (by step).
+
+    Reference keeps at most 500 (train_pixellink.py:380 Saver
+    max_to_keep); 0 disables. Returns the removed directory paths.
+    """
+    if not max_to_keep or not os.path.isdir(path):
+        return []
+    steps = []
+    for name in os.listdir(path):
+        if name.startswith("ckpt_"):
+            try:
+                steps.append(int(name.split("_")[1]))
+            except ValueError:
+                continue
+    steps.sort()
+    removed = []
+    import shutil
+
+    for s in steps[:-max_to_keep] if len(steps) > max_to_keep else []:
+        d = _ckpt_dir(path, s)
+        shutil.rmtree(d, ignore_errors=True)
+        removed.append(d)
+    return removed
 
 
 def save_checkpoint(path: str, state: TrainState, data_iter=None,
-                    block: bool = True) -> str:
+                    block: bool = True, max_to_keep: int = 0) -> str:
     """Save the train state; if ``data_iter`` exposes ``get_state()``
     (data/grain_pipeline.CheckpointableLoader), persist the exact data
     position next to it so resume replays the remaining sample sequence
@@ -418,6 +472,16 @@ def save_checkpoint(path: str, state: TrainState, data_iter=None,
         if iter_state is not None:
             with open(os.path.join(d, DATA_ITER_STATE_FILE), "wb") as f:
                 f.write(iter_state)
+        prune_checkpoints(path, max_to_keep)
+
+    def write_async():
+        global _PENDING_SAVE_ERROR
+        try:
+            write()
+        except BaseException as e:  # surfaced by wait_for_pending_save()
+            logging.getLogger(__name__).exception(
+                "async checkpoint write to %s failed", d)
+            _PENDING_SAVE_ERROR = e
 
     wait_for_pending_save()
     if block:
@@ -427,7 +491,7 @@ def save_checkpoint(path: str, state: TrainState, data_iter=None,
 
         global _PENDING_SAVE
         _PENDING_SAVE = threading.Thread(
-            target=write, daemon=False, name="ckpt-writer")
+            target=write_async, daemon=False, name="ckpt-writer")
         _PENDING_SAVE.start()
     return d
 
@@ -697,6 +761,7 @@ class Trainer:
         t0 = time.time()
         last_metrics: Dict[str, float] = {}
         window = cfg.log_every_steps
+        last_save_t = time.time()
         dog = StallWatchdog(cfg.stall_warn_secs)
         try:
             for step in range(max_steps):
@@ -727,9 +792,16 @@ class Trainer:
                         and step % cfg.save_summary_steps == 0
                         and hasattr(self.summary_writer, "add_detection_summaries")):
                     self._emit_image_summaries(batch, step)
-                if cfg.save_checkpoint_steps and step > 0 and step % cfg.save_checkpoint_steps == 0:
+                step_due = (cfg.save_checkpoint_steps and step > 0
+                            and step % cfg.save_checkpoint_steps == 0)
+                time_due = (cfg.save_interval_secs
+                            and time.time() - last_save_t
+                            >= cfg.save_interval_secs)
+                if step_due or time_due:
                     save_checkpoint(cfg.checkpoint_path, self.state, batches,
-                                    block=False)
+                                    block=False,
+                                    max_to_keep=cfg.max_checkpoints_to_keep)
+                    last_save_t = time.time()
                 if self._maybe_handle_preemption(batches):
                     break
         finally:
@@ -746,14 +818,22 @@ class Trainer:
         from tensorflow_ocr_tpu.data.device_cache import DeviceDataset
 
         cfg = self.cfg
-        assert not (cfg.data.use_crop or cfg.data.use_rotate
-                    or cfg.data.use_random_scale), (
-            "device-cached loop requires augmentation off; use run() instead"
-        )
+        augment = bool(cfg.data.use_crop or cfg.data.use_rotate
+                       or cfg.data.use_random_scale)
         from tensorflow_ocr_tpu.models.detector import model_output_stride
 
-        ds = DeviceDataset(cfg.data, want_east=self.want_east,
-                           precompute_labels=True,
+        # With augmentation on, stage raw frames only (transforms + label
+        # rasterization happen on device inside the scan body); the staging
+        # loader must not consume the augmentation flags.
+        stage_cfg = cfg.data
+        if augment:
+            import dataclasses as _dc
+
+            stage_cfg = _dc.replace(cfg.data, use_crop=False,
+                                    use_rotate=False,
+                                    use_random_scale=False)
+        ds = DeviceDataset(stage_cfg, want_east=self.want_east,
+                           precompute_labels=not augment,
                            label_stride=model_output_stride(cfg.model.name))
         if self.model is None:
             self.setup({k: v[:1] for k, v in ds.arrays().items()
@@ -763,7 +843,7 @@ class Trainer:
         idx_sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
         multi = make_multi_train_step(
             self.model, self.tx, cfg, self.mesh,
-            extra_keys=tuple(ds.labels.keys()),
+            extra_keys=tuple(ds.labels.keys()), augment=augment,
         )
         rng = np.random.RandomState(cfg.train.seed)
         s = cfg.train.scan_steps
@@ -782,6 +862,7 @@ class Trainer:
                             batch, max_steps, dog):
         t0 = time.time()
         last: Dict[str, float] = {}
+        last_save_t = time.time()
         step = 0
         while step < max_steps:
             idx = ds.index_batches(batch, s, rng)
@@ -804,10 +885,16 @@ class Trainer:
             if self.summary_writer is not None:
                 for k, v in last.items():
                     self.summary_writer.add_scalar(k, v, step)
-            if (cfg.train.save_checkpoint_steps
-                    and step % max(cfg.train.save_checkpoint_steps, s) == 0):
-                save_checkpoint(cfg.train.checkpoint_path, self.state,
-                                block=False)
+            step_due = (cfg.train.save_checkpoint_steps
+                        and step % max(cfg.train.save_checkpoint_steps, s) == 0)
+            time_due = (cfg.train.save_interval_secs
+                        and time.time() - last_save_t
+                        >= cfg.train.save_interval_secs)
+            if step_due or time_due:
+                save_checkpoint(
+                    cfg.train.checkpoint_path, self.state, block=False,
+                    max_to_keep=cfg.train.max_checkpoints_to_keep)
+                last_save_t = time.time()
             if (self.eval_hook is not None and cfg.train.eval_every_steps
                     and step % max(cfg.train.eval_every_steps, s) == 0):
                 r = self.eval_hook(self.model, self.state)

@@ -102,3 +102,50 @@ def test_run_device_cached_rejects_augmentation(dataset):
     tr = T.Trainer(cfg, make_mesh(1))
     with pytest.raises(AssertionError):
         tr.run_device_cached()
+
+
+def test_run_device_cached_with_device_augment(dataset):
+    """Augmentation flags on + device cache -> on-device augment inside
+    the scan body (no host pipeline), loss finite and steps counted."""
+    cfg = _cfg(dataset)
+    cfg.data.use_crop = True
+    cfg.data.use_rotate = True
+    cfg.data.use_random_scale = True
+    cfg.data.random_scale = (0.75, 1.0, 1.5)
+    cfg.train.max_steps = 6
+    cfg.train.save_checkpoint_steps = 0
+    mesh = make_mesh(1)
+    tr = T.Trainer(cfg, mesh)
+    m = tr.run_device_cached()
+    assert int(tr.state.step) == 6
+    assert np.isfinite(m["total_loss"])
+
+
+def test_run_device_cached_augment_east(dataset):
+    cfg = _cfg(dataset)
+    cfg.model.name = "east_vgg16"
+    cfg.loss.name = "east"
+    cfg.data.use_rotate = True
+    cfg.train.max_steps = 3
+    cfg.train.save_checkpoint_steps = 0
+    mesh = make_mesh(1)
+    tr = T.Trainer(cfg, mesh)
+    m = tr.run_device_cached()
+    assert int(tr.state.step) == 3
+    assert np.isfinite(m["total_loss"])
+
+
+def test_device_augment_8device_mesh(dataset):
+    """Augmented scan step compiles and runs under 8-device shard_map
+    (per-shard RNG decorrelation via axis_index fold-in)."""
+    cfg = _cfg(dataset, batch=8)
+    cfg.data.use_rotate = True
+    cfg.data.use_random_scale = True
+    cfg.train.max_steps = 3
+    cfg.train.scan_steps = 3
+    cfg.train.save_checkpoint_steps = 0
+    mesh = make_mesh(8)
+    tr = T.Trainer(cfg, mesh)
+    m = tr.run_device_cached()
+    assert int(tr.state.step) == 3
+    assert np.isfinite(m["total_loss"])

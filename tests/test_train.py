@@ -247,3 +247,85 @@ def test_stall_watchdog_disabled():
     dog = StallWatchdog(0)
     assert dog._thread is None
     dog.stop()
+
+
+def test_checkpoint_retention_prunes_oldest(dataset, tmp_path):
+    """max_to_keep caps ckpt_* dirs (reference train_pixellink.py:380
+    Saver max_to_keep=500)."""
+    cfg = _tiny_cfg(dataset)
+    root = str(tmp_path / "ckpt_keep")
+    cfg.train.checkpoint_path = root
+    mesh = make_mesh(1)
+    batch = _one_batch(cfg)
+    tr = T.Trainer(cfg, mesh)
+    tr.setup(batch)
+    state = tr.state
+    for k in range(4):
+        T.save_checkpoint(root, state.replace(step=jnp.int32(k)),
+                          max_to_keep=2)
+    import os
+
+    kept = sorted(d for d in os.listdir(root) if d.startswith("ckpt_"))
+    assert kept == ["ckpt_2", "ckpt_3"]
+    # latest survives and loads
+    restored = T.restore_checkpoint(T.latest_checkpoint(root), state)
+    assert int(restored.step) == 3
+    # max_to_keep=0 keeps everything
+    assert T.prune_checkpoints(root, 0) == []
+
+
+def test_time_based_checkpoint_cadence(dataset, tmp_path):
+    """save_interval_secs triggers saves even with step cadence off
+    (reference train_pixellink.py:370 save_interval_secs=300)."""
+    cfg = _tiny_cfg(dataset)
+    cfg.train.checkpoint_path = str(tmp_path / "ckpt_time")
+    cfg.train.save_checkpoint_steps = 0
+    cfg.train.save_interval_secs = 1e-6  # every step qualifies
+    cfg.train.max_checkpoints_to_keep = 1
+    mesh = make_mesh(1)
+    batch = _one_batch(cfg)
+    tr = T.Trainer(cfg, mesh)
+    tr.setup(batch)
+
+    def batches():
+        while True:
+            yield batch
+
+    tr.run(batches(), max_steps=3)
+    import os
+
+    kept = [d for d in os.listdir(cfg.train.checkpoint_path)
+            if d.startswith("ckpt_")]
+    assert len(kept) == 1  # retention cap applied
+    assert T.latest_checkpoint(cfg.train.checkpoint_path) is not None
+
+
+def test_async_checkpoint_failure_reraises(dataset, tmp_path, monkeypatch):
+    """A failed async write must surface in wait_for_pending_save, not
+    vanish on the writer thread (ADVICE r3)."""
+    cfg = _tiny_cfg(dataset)
+    mesh = make_mesh(1)
+    batch = _one_batch(cfg)
+    tr = T.Trainer(cfg, mesh)
+    tr.setup(batch)
+
+    # Unwritable directory target: a file where the ckpt root should be.
+    bad_root = tmp_path / "not_a_dir"
+    bad_root.write_text("occupied")
+    T.save_checkpoint(str(bad_root), tr.state, block=False)
+    with pytest.raises(RuntimeError, match="async checkpoint write failed"):
+        T.wait_for_pending_save()
+    # error is consumed; subsequent waits are clean
+    T.wait_for_pending_save()
+
+
+def test_config_validate_rejects_bad_geometry():
+    from tensorflow_ocr_tpu.config import Config, parse_flags
+
+    cfg = Config()
+    cfg.data.geometry = "HEXAGON"
+    with pytest.raises(ValueError, match="geometry"):
+        cfg.validate()
+    with pytest.raises(ValueError, match="geometry"):
+        parse_flags(["--geometry=TRIANGLE"])
+    assert parse_flags(["--geometry=QUAD"]).data.geometry == "QUAD"
