@@ -19,37 +19,72 @@ import time
 _T0 = time.time()
 
 
-def _require_backend(timeout_s: float = 300.0):
+def _require_backend(timeout_s: float = 110.0, attempts: int = 3,
+                     retry_sleep_s: float = 45.0):
     """Fail fast (with a diagnostic JSON line) if the device backend
-    cannot initialize.
+    cannot initialize — but ride out a *transient* outage window first.
 
     The tunneled TPU runtime can go UNAVAILABLE or hang indefinitely at
-    client setup (observed in practice); without this guard the bench
-    blocks opaquely until the caller's timeout and the artifact carries
-    nothing. A worker thread attempts `jax.devices()`; if it neither
-    returns nor raises within `timeout_s`, or raises, we print the
-    standard JSON schema with value 0 + an `error` field and exit 3.
+    client setup (observed 2026-08-17: a multi-hour outage zeroed the
+    round-3 artifact after a single 300 s probe). Probing is done in
+    SUBPROCESSES so a hung attempt can be killed and retried — a hung
+    in-process `jax.devices()` holds the backend-init lock forever and
+    poisons any same-process retry. Up to `attempts` probes of
+    `timeout_s` each, `retry_sleep_s` apart; only after a subprocess
+    succeeds does the main process init (guarded by a thread timeout as
+    a last resort). On exhaustion we print the standard JSON schema with
+    value 0 + an `error` field listing every attempt, and exit 3.
     """
+    import subprocess
     import threading
 
-    result = {}
-
-    def probe():
-        try:
-            import jax
-
-            result["devices"] = [str(d) for d in jax.devices()]
-        except Exception as e:  # init raised (e.g. UNAVAILABLE)
-            result["error"] = f"{type(e).__name__}: {e}"
-
     timeout_s = float(os.environ.get("BENCH_INIT_TIMEOUT_S", timeout_s))
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    err = result.get("error") if not t.is_alive() else (
-        f"backend init did not complete within {timeout_s:.0f}s")
-    if "devices" in result:
-        return
+    attempts = int(os.environ.get("BENCH_INIT_ATTEMPTS", attempts))
+    retry_sleep_s = float(
+        os.environ.get("BENCH_INIT_RETRY_SLEEP_S", retry_sleep_s))
+
+    errs = []
+    ok = False
+    for i in range(max(1, attempts)):
+        if i:
+            time.sleep(retry_sleep_s)
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(len(jax.devices()))"],
+                capture_output=True, text=True, timeout=timeout_s)
+            if proc.returncode == 0:
+                ok = True
+                break
+            tail = (proc.stderr or proc.stdout).strip().splitlines()
+            errs.append(f"attempt {i + 1}: rc={proc.returncode} "
+                        f"{tail[-1] if tail else ''}")
+        except subprocess.TimeoutExpired:
+            errs.append(f"attempt {i + 1}: no init within {timeout_s:.0f}s")
+        print(f"backend probe failed ({errs[-1]}); "
+              f"{attempts - i - 1} retries left", file=sys.stderr)
+
+    result = {}
+    if ok:
+        # A subprocess saw the backend; init here too, but keep a thread
+        # guard in case the runtime flapped in between.
+        def probe():
+            try:
+                import jax
+
+                result["devices"] = [str(d) for d in jax.devices()]
+            except Exception as e:  # init raised (e.g. UNAVAILABLE)
+                result["error"] = f"{type(e).__name__}: {e}"
+
+        t = threading.Thread(target=probe, daemon=True)
+        t.start()
+        t.join(timeout_s)
+        if "devices" in result:
+            return
+        errs.append(result.get(
+            "error", f"main-process init hung past {timeout_s:.0f}s "
+                     "after a successful probe"))
+    err = "; ".join(errs) or "backend init failed"
     metric, unit = {
         "detect": ("detect_latency_p50_ms", "ms"),
         "serve": ("serve_images_per_sec_1280x768", "images/sec"),
@@ -195,6 +230,10 @@ def serve_throughput_main():
                 "value": round(ips, 2),
                 "unit": "images/sec",
                 "vs_baseline": 0.0,
+                # primary switched to the pipelined detect_batches stream
+                # in round 3; round-2 semantics live in
+                # unpipelined_images_per_sec.
+                "pipelined": True,
                 "batch": batch,
                 "device_images_per_sec": round(dev_ips, 2),
                 "unpipelined_images_per_sec": round(sync_ips, 2),

@@ -47,10 +47,14 @@ def main():
                          "(the documented fine-tune recipe; pairs with "
                          "--pretrain-steps)")
     ap.add_argument("--augment", action="store_true",
-                    help="train through the host pipeline with crop/"
-                         "rotate/scale augmentation (the reference's "
-                         "standard path) instead of the device-cached "
-                         "loop")
+                    help="train with crop/rotate/scale augmentation "
+                         "applied ON DEVICE inside the scan loop "
+                         "(data/device_augment.py) — same recipe the "
+                         "reference runs on host, at device-cache speed")
+    ap.add_argument("--host-augment", action="store_true",
+                    help="force the host PrefetchLoader augmentation "
+                         "path (the reference-fidelity pipeline; ~30x "
+                         "slower than --augment through this runtime)")
     ap.add_argument("--min-size", type=int, default=None,
                     help="override infer.min_component_size (decode "
                          "keeps components larger than this many "
@@ -137,14 +141,15 @@ def main():
     if pretrain_ckpt:
         cfg.train.pretrained_model_path = pretrain_ckpt
 
-    tr = T.Trainer(cfg, mesh)
-    t0 = time.time()
-    if args.augment:
-        from tensorflow_ocr_tpu.data.pipeline import PrefetchLoader
-
+    if args.augment or args.host_augment:
         cfg.data.use_crop = True
         cfg.data.use_rotate = True
         cfg.data.use_random_scale = True
+    tr = T.Trainer(cfg, mesh)
+    t0 = time.time()
+    if args.host_augment:
+        from tensorflow_ocr_tpu.data.pipeline import PrefetchLoader
+
         want_east = cfg.model.name.startswith("east")
         loader = PrefetchLoader(cfg.data, want_east=want_east,
                                 seed=cfg.train.seed)
@@ -161,6 +166,9 @@ def main():
         finally:
             loader.stop()
     else:
+        # device-cached scan loop; with --augment the scan body applies
+        # per-image similarity transforms + in-step label rasterization
+        # (run_device_cached reads the cfg.data.use_* flags)
         metrics = tr.run_device_cached()
     dt = time.time() - t0
     print(f"trained {args.steps} steps in {dt:.1f}s "
@@ -242,7 +250,9 @@ def main():
             "recipe": {
                 "pretrain_steps": args.pretrain_steps,
                 "freeze_bn": args.freeze_bn,
-                "augment": args.augment,
+                "augment": args.augment or args.host_augment,
+                "augment_path": ("host" if args.host_augment
+                                 else "device" if args.augment else None),
                 "min_component_size": cfg.infer.min_component_size,
             },
             "data": {

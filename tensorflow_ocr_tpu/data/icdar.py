@@ -356,6 +356,16 @@ def _v2_instance(rng, h, w, cx, cy, bh, ang_deg, kind=None):
     return chars, rect
 
 
+def _gt_coords(quad: np.ndarray, w: int, h: int) -> str:
+    """Serialize a 4-point quad as ICDAR GT coords, clamped to the
+    canvas — curved/perspective instances can extend past the frame, and
+    GT must claim only regions the renderer could actually ink."""
+    pts = np.asarray(quad, np.float64).reshape(-1, 2)
+    xs = np.clip(np.round(pts[:, 0]), 0, w - 1).astype(int)
+    ys = np.clip(np.round(pts[:, 1]), 0, h - 1).astype(int)
+    return ",".join(str(v) for xy in zip(xs, ys) for v in xy)
+
+
 def make_synthetic_dataset(path: str, num_images: int = 10,
                            size: Tuple[int, int] = (480, 640),
                            seed: int = 0, hard=False) -> List[str]:
@@ -417,6 +427,9 @@ def make_synthetic_dataset(path: str, num_images: int = 10,
             placed = []  # axis-aligned bboxes of accepted instances
 
             def overlaps(rect):
+                # pure check — callers that accept a candidate must
+                # register() it explicitly (a check-only call must not
+                # corrupt placement state)
                 x0, y0 = rect.min(0)
                 x1, y1 = rect.max(0)
                 for (a0, b0, a1, b1) in placed:
@@ -426,8 +439,12 @@ def make_synthetic_dataset(path: str, num_images: int = 10,
                     if inter > 0.05 * min((x1 - x0) * (y1 - y0),
                                           (a1 - a0) * (b1 - b0)):
                         return True
-                placed.append((x0, y0, x1, y1))
                 return False
+
+            def register(rect):
+                x0, y0 = rect.min(0)
+                x1, y1 = rect.max(0)
+                placed.append((x0, y0, x1, y1))
 
             for _ in range(rng.randint(3, 7)):
                 for _try in range(8):  # retry placement on overlap
@@ -457,12 +474,14 @@ def make_synthetic_dataset(path: str, num_images: int = 10,
                             [r for _, r in block]).astype(np.float32)
                         if overlaps(hull_pts):
                             continue
+                        register(hull_pts)
                         insts.extend((c, r, bh_i) for c, r in block)
                     else:
                         chars, rect = _v2_instance(rng, h, w, cx, cy,
                                                    bh_i, ang)
                         if overlaps(rect):
                             continue
+                        register(rect)
                         insts.append((chars, rect, bh_i))
                     break
             for chars, rect, bh_i in insts:
@@ -477,9 +496,7 @@ def make_synthetic_dataset(path: str, num_images: int = 10,
                 # ### convention for illegible text
                 tag = ("###" if bh_i < 8.5 or rng.rand() < 0.15
                        else "text")
-                coords = ",".join(
-                    str(int(round(v))) for v in rect.reshape(-1))
-                lines.append(f"{coords},{tag}")
+                lines.append(f"{_gt_coords(rect, w, h)},{tag}")
             n_inst = 0  # v1 instance loop below is skipped
         for _ in range(n_inst):
             mx, my = max(w // 6, 16), max(h // 6, 12)
@@ -514,8 +531,7 @@ def make_synthetic_dataset(path: str, num_images: int = 10,
             else:
                 cv2.fillPoly(im, [box.astype(np.int32)], (255, 255, 255))
                 tag = "###" if rng.rand() < 0.15 else "text"
-            coords = ",".join(str(int(round(v))) for v in box.reshape(-1))
-            lines.append(f"{coords},{tag}")
+            lines.append(f"{_gt_coords(box, w, h)},{tag}")
         fn = os.path.join(path, f"img_{i}.jpg")
         cv2.imwrite(fn, im)
         with open(os.path.join(path, f"gt_img_{i}.txt"), "w") as f:

@@ -175,9 +175,12 @@ def unpool(x: jnp.ndarray) -> jnp.ndarray:
 # batch-BN, 76.4 vs 57.4 frozen — the 9 strided pad/accumulate passes
 # cost ~4x more HBM traffic than SelectAndScatter's inefficiency. Kept
 # as a tested opt-in (OCR_FAST_MAXPOOL=1), default OFF. Subgradient
-# note: on tied maxima this distributes the gradient to EVERY tied
-# element, where SelectAndScatter picks the first; both are valid
-# subgradients of max.
+# note: on tied maxima the window's gradient is SPLIT EQUALLY among the
+# tied elements (normalized by per-window tie count), where
+# SelectAndScatter routes it all to the first; both are valid
+# subgradients of max — an unnormalized equality mask would NOT be (it
+# hands each tie the full gradient, summing to >1x, and ties are
+# pervasive on post-relu zero plateaus).
 def _fast_maxpool_enabled() -> bool:
     import os
 
@@ -194,16 +197,11 @@ def _mp_fwd(x):
     return y, (x, y)
 
 
-def _mp_bwd(res, g):
-    x, y = res
+def _mp_window_slices(x, y, pb_h, pb_w):
+    """Yield, for each of the 9 window offsets, the aligned strided
+    x-slice and the matching (p0, q0, nh, nw) output-window region."""
     n, h, w, c = x.shape
     ho, wo = y.shape[1], y.shape[2]
-    # SAME for k=3,s=2: pad_beg = 0 if dim even else 1 (TF convention:
-    # pad_total = max((o-1)*2+3-d, 0), beg = pad_total//2).
-    pb_h = 0 if h % 2 == 0 else 1
-    pb_w = 0 if w % 2 == 0 else 1
-    g = g.astype(x.dtype)
-    dx = jnp.zeros_like(x)
     for di in range(3):
         for dj in range(3):
             # input row index i = 2p + di - pb_h for output row p
@@ -221,13 +219,34 @@ def _mp_bwd(res, g):
                 x, (0, i_start, j_start, 0),
                 (n, i_start + 2 * (nh - 1) + 1, j_start + 2 * (nw - 1) + 1,
                  c), (1, 2, 2, 1))
-            ys = jax.lax.slice(
-                y, (0, p0, q0, 0), (n, p0 + nh, q0 + nw, c))
-            gs = jax.lax.slice(
-                g, (0, p0, q0, 0), (n, p0 + nh, q0 + nw, c))
-            contrib = jnp.where(xs == ys, gs, jnp.zeros_like(gs))
-            dx = dx.at[:, i_start:i_start + 2 * nh:2,
-                       j_start:j_start + 2 * nw:2, :].add(contrib)
+            yield xs, (i_start, j_start, p0, q0, nh, nw)
+
+
+def _mp_bwd(res, g):
+    x, y = res
+    n, h, w, c = x.shape
+    # SAME for k=3,s=2: pad_beg = 0 if dim even else 1 (TF convention:
+    # pad_total = max((o-1)*2+3-d, 0), beg = pad_total//2).
+    pb_h = 0 if h % 2 == 0 else 1
+    pb_w = 0 if w % 2 == 0 else 1
+    g = g.astype(x.dtype)
+    # Pass 1: per-window tie count (>=1 everywhere: the max is attained),
+    # so tied maxima SPLIT the gradient instead of each taking all of it.
+    counts = jnp.zeros(y.shape, x.dtype)
+    for xs, (_, _, p0, q0, nh, nw) in _mp_window_slices(x, y, pb_h, pb_w):
+        ys = jax.lax.slice(y, (0, p0, q0, 0), (n, p0 + nh, q0 + nw, c))
+        counts = counts.at[:, p0:p0 + nh, q0:q0 + nw, :].add(
+            (xs == ys).astype(x.dtype))
+    g = g / counts
+    # Pass 2: route the normalized gradient to the arg-max elements.
+    dx = jnp.zeros_like(x)
+    for xs, (i_start, j_start, p0, q0, nh, nw) in _mp_window_slices(
+            x, y, pb_h, pb_w):
+        ys = jax.lax.slice(y, (0, p0, q0, 0), (n, p0 + nh, q0 + nw, c))
+        gs = jax.lax.slice(g, (0, p0, q0, 0), (n, p0 + nh, q0 + nw, c))
+        contrib = jnp.where(xs == ys, gs, jnp.zeros_like(gs))
+        dx = dx.at[:, i_start:i_start + 2 * nh:2,
+                   j_start:j_start + 2 * nw:2, :].add(contrib)
     return (dx,)
 
 

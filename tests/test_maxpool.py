@@ -2,9 +2,9 @@
 
 Forward must equal nn.max_pool exactly; backward must equal the XLA
 SelectAndScatter gradient on tie-free inputs (ties: both are valid
-subgradients of max — ours distributes to every tied element, XLA picks
-the first; after the stem relu, clipped zeros' inflated routing is killed
-by relu's own zero backward, see layers.py).
+subgradients of max — ours SPLITS each window's gradient equally among
+the tied maxima, XLA routes it all to the first; either way the mass per
+window is conserved, see layers.py).
 """
 
 import jax
@@ -49,18 +49,29 @@ def test_backward_matches_selectandscatter_tie_free(h, w):
         atol=1e-6)
 
 
-def test_backward_ties_distribute_to_all_maxima():
-    # an all-equal input: every window member ties; gradient lands on all
-    # of them (a scaled valid subgradient). Just check routing support and
-    # that untouched elements stay zero.
+def test_backward_ties_split_gradient_and_conserve_mass():
+    # an all-equal input: every window member ties; the gradient is split
+    # equally among them, so total mass equals total incoming mass (a
+    # valid subgradient — an unnormalized mask would inflate it up to 9x).
     x = jnp.ones((1, 4, 4, 1), jnp.float32)
     g = jnp.ones((1, 2, 2, 1), jnp.float32)
     dx = jax.grad(lambda x: jnp.sum(max_pool_3x3s2(x) * g))(x)
     # every input position belongs to >=1 window of an all-ones input
     assert (np.asarray(dx) > 0).all()
-    # total mass = sum over the 4 windows of their (unpadded) sizes:
-    # 3x3 + 3x2 + 2x3 + 2x2
-    assert float(dx.sum()) == 25.0
+    np.testing.assert_allclose(float(dx.sum()), float(g.sum()), rtol=1e-6)
+
+
+@pytest.mark.parametrize("h,w", [(8, 8), (9, 7)])
+def test_backward_tied_input_conserves_per_window_mass(h, w):
+    # random input quantized to few levels -> many (partial) ties; the
+    # split rule must still conserve total gradient mass because every
+    # window's gradient is distributed with weights summing to 1.
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(
+        np.round(rs.rand(2, h, w, 3) * 3).astype(np.float32))
+    g = jnp.asarray(rs.rand(*_ref(x).shape).astype(np.float32))
+    dx = jax.grad(lambda x: jnp.sum(max_pool_3x3s2(x) * g))(x)
+    np.testing.assert_allclose(float(dx.sum()), float(g.sum()), rtol=1e-5)
 
 
 def test_backward_bf16_and_jit():
