@@ -60,6 +60,12 @@ class Detector(nn.Module):
             self.backbone = ResNetV1(units=RESNET_UNITS[depth], dtype=self.dtype)
             keys = RESNET_KEYS
             upsample_first = True
+        elif self.backbone_name == "tiny":
+            from tensorflow_ocr_tpu.models.tiny import TinyConvNet
+
+            self.backbone = TinyConvNet(dtype=self.dtype)
+            keys = RESNET_KEYS
+            upsample_first = True
         elif self.backbone_name == "vgg16":
             self.backbone = VGG16(dtype=self.dtype)
             keys = (
@@ -117,6 +123,10 @@ MODEL_REGISTRY = {
     "east_resnet152": dict(backbone_name="resnet152", head_name="east"),
     "pixellink_resnet200": dict(backbone_name="resnet200", head_name="pixellink"),
     "east_resnet200": dict(backbone_name="resnet200", head_name="east"),
+    # CI-scale backbone (models/tiny.py): overfit tests that gate learned
+    # quality on CPU; not a reference family.
+    "pixellink_tiny": dict(backbone_name="tiny", head_name="pixellink"),
+    "east_tiny": dict(backbone_name="tiny", head_name="east"),
 }
 
 

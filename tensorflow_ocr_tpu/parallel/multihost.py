@@ -33,8 +33,17 @@ def initialize(coordinator_address: Optional[str] = None,
     On Cloud TPU VMs all arguments are discovered from the metadata
     environment; pass them explicitly elsewhere. Idempotent.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    # Check the distributed runtime WITHOUT touching jax.process_count():
+    # that would initialize the XLA backend first, after which
+    # jax.distributed.initialize refuses to run and this helper would
+    # silently degrade to single-process.
+    try:
+        from jax._src.distributed import global_state
+
+        if global_state.client is not None:
+            return  # already initialized
+    except Exception:
+        pass
     kwargs = {}
     if coordinator_address is not None:
         kwargs = dict(
@@ -45,8 +54,9 @@ def initialize(coordinator_address: Optional[str] = None,
     try:
         jax.distributed.initialize(**kwargs)
     except (RuntimeError, ValueError):
-        # single-process run or already initialized — both fine
-        pass
+        if kwargs:
+            raise  # explicit cluster args: a failure is real
+        # env auto-detection found no cluster: single-process run — fine
 
 
 def local_batch_size(global_batch_size: int) -> int:

@@ -341,7 +341,10 @@ def make_multi_train_step(model, tx, cfg: Config, mesh: Mesh,
             new_state, metrics = step_shard(carry, batch)
             return new_state, metrics
 
-        state, ms = jax.lax.scan(body, state, idx)
+        # OCR_SCAN_UNROLL>1 unrolls the scan body (A/B lever for the
+        # scan-carry copy overhead in the frozen-BN profile, PERF.md §4.4)
+        unroll = int(os.environ.get("OCR_SCAN_UNROLL", "1"))
+        state, ms = jax.lax.scan(body, state, idx, unroll=unroll)
         last = jax.tree_util.tree_map(lambda x: x[-1], ms)
         # L2 value once per dispatch (reporting-only; the decay itself is
         # applied in the optimizer chain every step)
