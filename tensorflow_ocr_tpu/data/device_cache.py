@@ -139,6 +139,7 @@ class DeviceDataset:
                 jnp.asarray(self.rects), jnp.asarray(self.angles),
                 jnp.asarray(self.tags), jnp.asarray(self.valid),
                 hw, hw, stride, cfg.min_text_size,
+                geometry=cfg.geometry,
             )
             self.labels = {
                 "score": np.asarray(score),

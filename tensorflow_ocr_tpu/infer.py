@@ -58,7 +58,9 @@ class Predictor:
     def __init__(self, cfg: Config, state: Optional[T.TrainState] = None,
                  use_ema: bool = True):
         self.cfg = cfg
-        self.model = build_model(cfg.model.name, text_scale=cfg.model.text_scale)
+        self.model = build_model(cfg.model.name,
+                                 text_scale=cfg.model.text_scale,
+                                 geometry=cfg.data.geometry)
         if state is None:
             rng = jax.random.PRNGKey(0)
             dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)

@@ -44,6 +44,7 @@ class Detector(nn.Module):
     backbone_name: str = "resnet50"
     head_name: str = "pixellink"
     text_scale: int = 512
+    geometry: str = "RBOX"  # EAST head only: RBOX | QUAD
     output_stride: int = 4
     dtype: Any = jnp.bfloat16
 
@@ -88,7 +89,8 @@ class Detector(nn.Module):
                 feature_keys=keys, upsample_first=upsample_first, dtype=self.dtype
             )
             self.head = (
-                EASTHead(text_scale=self.text_scale, dtype=self.dtype)
+                EASTHead(text_scale=self.text_scale,
+                         geometry=self.geometry, dtype=self.dtype)
                 if self.head_name == "east"
                 else Link8Head(dtype=self.dtype)
             )
@@ -136,8 +138,10 @@ def model_output_stride(name: str) -> int:
 
 
 def build_model(name: str, text_scale: int = 512,
-                dtype: Any = jnp.bfloat16) -> Detector:
+                dtype: Any = jnp.bfloat16,
+                geometry: str = "RBOX") -> Detector:
     if name not in MODEL_REGISTRY:
         raise ValueError(f"unknown model {name}; have {sorted(MODEL_REGISTRY)}")
     kw = dict(MODEL_REGISTRY[name])
-    return Detector(text_scale=text_scale, dtype=dtype, **kw)
+    return Detector(text_scale=text_scale, dtype=dtype, geometry=geometry,
+                    **kw)

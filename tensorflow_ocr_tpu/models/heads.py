@@ -103,9 +103,15 @@ class EASTMerge(nn.Module):
 
 
 class EASTHead(nn.Module):
-    """Score + RBOX geometry outputs (reference nets/model.py:76-82)."""
+    """Score + geometry outputs (reference nets/model.py:76-82).
+
+    geometry="RBOX" (default): 4 sigmoid-scaled edge distances + angle.
+    geometry="QUAD": 8 linear signed corner offsets (EAST paper §3.3.2;
+    declared but unimplemented in the reference, datasets/icdar.py:30).
+    """
 
     text_scale: int = 512
+    geometry: str = "RBOX"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -115,6 +121,10 @@ class EASTHead(nn.Module):
                            param_dtype=jnp.float32, name=name)(g).astype(jnp.float32)
 
         score = nn.sigmoid(head_conv(1, "score"))
+        if self.geometry == "QUAD":
+            # signed offsets: raw linear regression (the loss normalizes
+            # by the instance's short edge, so the scale is benign)
+            return {"score": score, "geometry": head_conv(8, "geo")}
         geo = nn.sigmoid(head_conv(4, "geo")) * float(self.text_scale)
         angle = (nn.sigmoid(head_conv(1, "angle")) - 0.5) * (np.pi / 2)
         return {

@@ -316,11 +316,13 @@ def pixellink_decode(pixel_scores: jnp.ndarray, link_scores: jnp.ndarray,
 )
 def east_detect(score_map: jnp.ndarray, geo_map: jnp.ndarray,
                 score_thresh: float = 0.8, max_boxes: int = 2048):
-    """EAST decode stage 1 on device: threshold + top-K + RBOX restore.
+    """EAST decode stage 1 on device: threshold + top-K + geometry restore.
 
-    score_map (h, w); geo_map (h, w, 5). Pixel coords are scaled x4 (the
-    reference's stride scaling, test.py:193-194) before restore, matching
-    eval-time behavior of argman-EAST-style detectors.
+    score_map (h, w); geo_map (h, w, 5) RBOX (4 edge distances + angle)
+    or (h, w, 8) QUAD (signed corner offsets — quad = pixel + offsets).
+    Pixel coords are scaled x4 (the reference's stride scaling,
+    test.py:193-194) before restore, matching eval-time behavior of
+    argman-EAST-style detectors.
     Returns (quads (K,4,2), scores (K,), valid (K,)) — host then applies
     locality-aware NMS (utils/nms.py).
     """
@@ -331,6 +333,10 @@ def east_detect(score_map: jnp.ndarray, geo_map: jnp.ndarray,
     ys = (idx // w).astype(jnp.float32)
     xs = (idx % w).astype(jnp.float32)
     origin = jnp.stack([xs, ys], axis=1) * 4.0
-    geo = geo_map.reshape(-1, 5)[idx]
-    quads = restore_rectangle_rbox_jax(origin, geo)
+    c = geo_map.shape[-1]
+    geo = geo_map.reshape(-1, c)[idx]
+    if c == 8:  # QUAD: offsets are full-res; add the scaled pixel coord
+        quads = origin[:, None, :] + geo.reshape(-1, 4, 2)
+    else:
+        quads = restore_rectangle_rbox_jax(origin, geo)
     return quads, vals, valid

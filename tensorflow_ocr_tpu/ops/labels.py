@@ -206,25 +206,83 @@ def pixellink_labels_batch(polys, ignored, valid, height: int, width: int,
 
 def east_labels_batch(polys, shrunk, rects, angles, ignored, valid,
                       out_height: int, out_width: int, stride: int = 4,
-                      min_text_size: int = 10):
+                      min_text_size: int = 10, geometry: str = "RBOX"):
     """Batched EAST labels on the output grid: score, geo, training mask.
 
     The training mask is rasterized from the FULL polys (ignored or
     too-small instances zeroed), matching the PixelLink mask rule
     (icdar.py:509-515); the score map comes from the SHRUNK polys.
-    Returns score (B,h,w,1), geo (B,h,w,5), mask (B,h,w,1).
+
+    geometry="RBOX": geo (B,h,w,5) = 4 rect-edge distances + angle
+    (reference datasets/icdar.py:620-672).
+    geometry="QUAD": geo (B,h,w,9) = 8 signed corner offsets (EAST paper
+    §3.3.2 QUAD: per-pixel shift to each GT-quad vertex) + the quad's
+    short-edge length N_Q (the loss normalizer) — the option the
+    reference declares (datasets/icdar.py:30) but never implements.
+    Returns score (B,h,w,1), geo, mask (B,h,w,1).
     """
 
     def one(p, sh, rc, an, ig, va):
-        score, geo = east_geo_maps(
-            sh, rc, an, va, out_height, out_width, stride=stride
-        )
+        if geometry == "QUAD":
+            score, geo = east_quad_geo_maps(
+                sh, p, va, out_height, out_width, stride=stride
+            )
+        else:
+            score, geo = east_geo_maps(
+                sh, rc, an, va, out_height, out_width, stride=stride
+            )
         _, _, mask = pixellink_labels_stride(
             p, ig, va, out_height, out_width, stride, min_text_size
         )
         return score[..., None], geo, mask[..., None]
 
     return jax.vmap(one)(polys, shrunk, rects, angles, ignored, valid)
+
+
+# --------------------------------------------------------------------------
+# EAST QUAD geometry maps
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "stride"))
+def east_quad_geo_maps(shrunk_polys: jnp.ndarray, polys: jnp.ndarray,
+                       valid: jnp.ndarray, height: int, width: int,
+                       stride: int = 1):
+    """Dense EAST QUAD maps: score + 8 corner offsets + short-edge norm.
+
+    For every pixel inside an instance's SHRUNK poly, the geometry target
+    is the signed offset from the pixel to each of the FULL GT quad's 4
+    vertices (EAST paper QUAD formulation; the reference only ever built
+    the RBOX maps, datasets/icdar.py:620-672). Offsets are in full-res
+    units; channel layout [dx0,dy0,dx1,dy1,dx2,dy2,dx3,dy3, N_Q] where
+    N_Q = min GT edge length (the smoothed-L1 normalizer).
+    Returns score (H,W) f32, geo (H,W,9) f32.
+    """
+    inst = rasterize_instances(
+        shrunk_polys / float(stride), valid, height, width
+    )
+    score = (inst > 0).astype(jnp.float32)
+
+    ys = jax.lax.broadcasted_iota(
+        jnp.int32, (height, width), 0).astype(jnp.float32) * stride
+    xs = jax.lax.broadcasted_iota(
+        jnp.int32, (height, width), 1).astype(jnp.float32) * stride
+
+    pad_poly = jnp.concatenate(
+        [jnp.zeros((1, 4, 2), polys.dtype), polys], axis=0)
+    q = pad_poly[inst]                        # (H, W, 4, 2)
+    pix = jnp.stack([xs, ys], axis=-1)        # (H, W, 2)
+    offsets = (q - pix[:, :, None, :]).reshape(height, width, 8)
+
+    edges = jnp.linalg.norm(polys - jnp.roll(polys, -1, axis=1), axis=-1)
+    short = jnp.min(edges, axis=-1)           # (K,)
+    pad_short = jnp.concatenate(
+        [jnp.zeros((1,), short.dtype), short], axis=0)
+    nq = pad_short[inst]                      # (H, W)
+
+    geo = jnp.concatenate([offsets, nq[..., None]], axis=-1)
+    geo = geo * score[..., None]
+    return score, geo
 
 
 # --------------------------------------------------------------------------

@@ -264,6 +264,36 @@ def focal_loss_binary(labels, probs, training_mask=None,
     return jnp.sum(fl) / n_pos
 
 
+def east_quad_loss(
+    y_true_cls,     # (B,h,w,1)
+    y_pred_cls,     # (B,h,w,1) sigmoid score
+    y_true_geo,     # (B,h,w,9) 8 corner offsets + short-edge norm N_Q
+    y_pred_geo,     # (B,h,w,8)
+    training_mask,  # (B,h,w,1)
+    cls_weight: float = 1.0,
+):
+    """EAST QUAD loss: dice score + scale-normalized smoothed-L1 over the
+    8 corner offsets (EAST paper §3.4.2: L_g = SmoothedL1((p−p*)/(8·N_Q))
+    averaged over positive pixels). Labels from
+    ops/labels.east_quad_geo_maps; the reference declares QUAD
+    (datasets/icdar.py:30) but never implements it. Returns (total, aux).
+    """
+    cls_loss = dice_loss(y_true_cls, y_pred_cls, training_mask) * cls_weight
+
+    gt = y_true_geo[..., :8]
+    nq = jnp.maximum(y_true_geo[..., 8:9], 1.0)
+    diff = (y_pred_geo - gt) / (8.0 * nq)
+    ad = jnp.abs(diff)
+    smooth = jnp.where(ad < 1.0, 0.5 * ad * ad, ad - 0.5)
+    per_pix = jnp.sum(smooth, axis=-1, keepdims=True)
+    w = y_true_cls * training_mask
+    geo_loss = _safe_div(jnp.sum(per_pix * w), jnp.sum(w))
+    return geo_loss + cls_loss, {
+        "cls_loss": cls_loss,
+        "geo_loss": geo_loss,
+    }
+
+
 def east_loss(
     y_true_cls,     # (B,h,w,1)
     y_pred_cls,     # (B,h,w,1) sigmoid score

@@ -56,7 +56,8 @@ def create_train_state(cfg: Config, rng: jax.Array,
     # the fused/ghost paths cannot leak into this trainer
     resnet_mod.set_bottleneck_impl(
         getattr(cfg.model, "bottleneck_impl", "xla"))
-    model = build_model(cfg.model.name, text_scale=cfg.model.text_scale)
+    model = build_model(cfg.model.name, text_scale=cfg.model.text_scale,
+                        geometry=cfg.data.geometry)
     tx = optim.make_optimizer(cfg.train, weight_decay=cfg.model.weight_decay)
 
     # One jitted program for the whole init: eager per-op dispatch is
@@ -166,7 +167,14 @@ def make_loss_fn(cfg: Config) -> Callable:
                 batch["polys"], batch["shrunk"], batch["rects"],
                 batch["angles"], batch["tags"], batch["valid"],
                 out_hw, out_hw, stride, min_ts,
+                geometry=cfg.data.geometry,
             )
+        if cfg.data.geometry == "QUAD":
+            total, aux = loss_ops.east_quad_loss(
+                score, outputs["score"], geo, outputs["geometry"], mask,
+            )
+            return (aux["cls_loss"]
+                    + aux["geo_loss"] * lcfg.east_geo_weight), aux
         if lcfg.name == "focal":
             cls = loss_ops.focal_loss_binary(
                 score, outputs["score"], mask,

@@ -1,0 +1,129 @@
+"""EAST QUAD geometry: labels -> loss -> head -> decode round-trip.
+
+The reference declares --geometry QUAD (datasets/icdar.py:29-30) but only
+ever implements RBOX; here QUAD is real: per-pixel signed corner offsets
+(ops/labels.east_quad_geo_maps), scale-normalized smoothed-L1
+(ops/losses.east_quad_loss), an 8-channel linear head, and offset-add
+restore in ops/decode.east_detect.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorflow_ocr_tpu.config import Config
+from tensorflow_ocr_tpu.models import build_model
+from tensorflow_ocr_tpu.ops import decode as D
+from tensorflow_ocr_tpu.ops import labels as L
+from tensorflow_ocr_tpu.ops import losses as LO
+
+QUAD = np.array([[8, 8], [28, 10], [26, 24], [7, 22]], np.float32)
+
+
+def _maps(h=32, w=32, stride=1):
+    polys = jnp.asarray(QUAD)[None]
+    # mild shrink toward the centroid so the positive region is interior
+    c = polys.mean(axis=1, keepdims=True)
+    shrunk = c + (polys - c) * 0.7
+    valid = jnp.ones((1,), bool)
+    return L.east_quad_geo_maps(shrunk, polys, valid, h, w, stride=stride)
+
+
+def test_quad_labels_offsets_recover_corners():
+    score, geo = _maps()
+    score, geo = np.asarray(score), np.asarray(geo)
+    assert geo.shape == (32, 32, 9)
+    pos = np.argwhere(score > 0)
+    assert len(pos) > 5
+    for (i, j) in pos[:10]:
+        off = geo[i, j, :8].reshape(4, 2)
+        corners = off + np.array([j, i], np.float32)
+        np.testing.assert_allclose(corners, QUAD, atol=1e-4)
+        # short-edge normalizer: min GT edge length
+        edges = np.linalg.norm(QUAD - np.roll(QUAD, -1, axis=0), axis=-1)
+        np.testing.assert_allclose(geo[i, j, 8], edges.min(), rtol=1e-5)
+    # negatives carry zero geometry
+    neg = np.argwhere(score == 0)
+    i, j = neg[0]
+    np.testing.assert_array_equal(geo[i, j], 0.0)
+
+
+def test_quad_loss_zero_at_perfect_prediction():
+    score, geo = _maps()
+    s = score[None, ..., None]
+    g = geo[None]
+    mask = jnp.ones_like(s)
+    total, aux = LO.east_quad_loss(s, s, g, g[..., :8], mask)
+    assert float(aux["geo_loss"]) == 0.0
+    # perturbed prediction must cost more
+    total2, aux2 = LO.east_quad_loss(s, s, g, g[..., :8] + 3.0, mask)
+    assert float(aux2["geo_loss"]) > 0.0
+
+
+def test_quad_decode_restores_quads():
+    score, geo = _maps(stride=1)
+    # east_detect assumes stride-4 maps; feed stride-4-consistent inputs:
+    # regenerate on a stride-4 grid so pixel*4 matches the offsets
+    polys = jnp.asarray(QUAD * 4.0)[None]
+    c = polys.mean(axis=1, keepdims=True)
+    shrunk = c + (polys - c) * 0.7
+    score4, geo4 = L.east_quad_geo_maps(
+        shrunk, polys, jnp.ones((1,), bool), 32, 32, stride=4)
+    quads, vals, valid = D.east_detect(score4, geo4[..., :8],
+                                       score_thresh=0.5, max_boxes=64)
+    quads, vals, valid = map(np.asarray, (quads, vals, valid))
+    assert valid.any()
+    for q in quads[valid]:
+        np.testing.assert_allclose(q, QUAD * 4.0, atol=1e-3)
+
+
+def test_quad_head_and_train_step_learns():
+    from tensorflow_ocr_tpu.parallel.mesh import make_mesh
+    from tensorflow_ocr_tpu.train import trainer as T
+
+    cfg = Config()
+    cfg.model.name = "east_tiny"
+    cfg.loss.name = "east"
+    cfg.data.geometry = "QUAD"
+    cfg.data.input_size = 64
+    cfg.data.batch_size = 2
+    cfg.data.max_polys = 4
+    cfg.train.learning_rate = 1e-3
+    cfg.validate()
+
+    from tensorflow_ocr_tpu.data.icdar import east_poly_geometry
+
+    rng = np.random.RandomState(0)
+    k = cfg.data.max_polys
+    poly = np.array([[8, 8], [40, 10], [38, 30], [7, 28]], np.float32)
+    polys = np.tile(poly, (2, k, 1, 1))
+    polys[:, 1:] = 0.0  # only instance 0 is valid
+    shrunk, rects, angles = zip(*[east_poly_geometry(p) for p in polys])
+    batch = {
+        "images": rng.rand(2, 64, 64, 3).astype(np.float32) * 255,
+        "polys": polys,
+        "tags": np.zeros((2, k), bool),
+        "valid": np.tile(np.array([True] + [False] * (k - 1)), (2, 1)),
+        "shrunk": np.stack(shrunk),
+        "rects": np.stack(rects),
+        "angles": np.stack(angles),
+    }
+    mesh = make_mesh(1)
+    tr = T.Trainer(cfg, mesh)
+    tr.setup(batch)
+    # head emits 8 geometry channels under QUAD
+    out = tr.model.apply(
+        {"params": tr.state.params, **(
+            {"batch_stats": tr.state.batch_stats}
+            if tr.state.batch_stats else {})},
+        jnp.asarray(batch["images"]), train=False)
+    assert out["geometry"].shape[-1] == 8
+
+    db = T.device_batch(batch, mesh, want_east=True)
+    state = tr.state
+    losses = []
+    for _ in range(12):
+        state, metrics = tr._step_fn(state, db)
+        losses.append(float(metrics["geo_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
