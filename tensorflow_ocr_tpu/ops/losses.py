@@ -29,6 +29,8 @@ reproduces the reference exactly.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -124,10 +126,18 @@ def ohem_pixel_link_loss(
     apply_training_mask: bool = True,
     bg_neg_budget: int = 0,
 ):
-    """Reference nets/model.py:204-261, vectorized. Returns (total, aux)."""
+    """Reference nets/model.py:204-261, vectorized. Returns (total, aux).
+
+    OCR_LOSS_BF16=1 computes the CE terms and selection weights in
+    bfloat16 with float32 reductions — an A/B lever against the f32 loss
+    traffic in the frozen-BN profile (PERF.md §4); default OFF (f32).
+    """
+    cdt = (jnp.bfloat16
+           if os.environ.get("OCR_LOSS_BF16", "0") in ("1", "true", "on")
+           else jnp.float32)
     b = pixel_logits.shape[0]
     labels = pixel_labels.reshape(b, -1).astype(jnp.int32)
-    logits = pixel_logits.reshape(b, -1, 2)
+    logits = pixel_logits.reshape(b, -1, 2).astype(cdt)
     if training_mask is None or not apply_training_mask:
         valid = jnp.ones_like(labels, jnp.bool_)
     else:
@@ -142,7 +152,7 @@ def ohem_pixel_link_loss(
         lambda s, p, n: ohnm_mask(s, p, n, max_neg_pos_ratio,
                                   bg_neg_budget)
     )(neg_scores, pos_mask, neg_mask)
-    w_pixel = pos_mask.astype(jnp.float32) + selected_neg  # (B, N)
+    w_pixel = pos_mask.astype(cdt) + selected_neg.astype(cdt)  # (B, N)
 
     n_pos = jnp.sum(pos_mask.astype(jnp.float32))
     # negatives selected on positive-free images (bg_neg_budget) widen
@@ -151,19 +161,24 @@ def ohem_pixel_link_loss(
     n_bg = jnp.sum(
         jnp.where(has_pos[:, None], 0.0, selected_neg))
     ce = softmax_ce_with_logits(logits, labels)
-    pixel_loss = _safe_div(jnp.sum(ce * w_pixel), n_pos + n_bg)
+    pixel_loss = _safe_div(
+        jnp.sum(ce * w_pixel, dtype=jnp.float32), n_pos + n_bg)
 
     # link loss, all 8 directions at once (model.py:238-254)
     link_lbl = link_labels.reshape(b, -1, 8).astype(jnp.int32)
-    link_lgt = link_logits.reshape(b, -1, 8, 2)
+    link_lgt = link_logits.reshape(b, -1, 8, 2).astype(cdt)
     link_ce = softmax_ce_with_logits(link_lgt, link_lbl)  # (B,N,8)
     wp = w_pixel[..., None]
-    w_link_pos = (link_lbl == 1).astype(jnp.float32) * wp
-    w_link_neg = (link_lbl == 0).astype(jnp.float32) * wp
-    pos_n = jnp.sum(w_link_pos, axis=(0, 1))  # per-direction (8,)
-    neg_n = jnp.sum(w_link_neg, axis=(0, 1))
-    link_pos = _safe_div(jnp.sum(link_ce * w_link_pos, axis=(0, 1)), pos_n)
-    link_neg = _safe_div(jnp.sum(link_ce * w_link_neg, axis=(0, 1)), neg_n)
+    w_link_pos = (link_lbl == 1).astype(cdt) * wp
+    w_link_neg = (link_lbl == 0).astype(cdt) * wp
+    pos_n = jnp.sum(w_link_pos, axis=(0, 1), dtype=jnp.float32)
+    neg_n = jnp.sum(w_link_neg, axis=(0, 1), dtype=jnp.float32)
+    link_pos = _safe_div(
+        jnp.sum(link_ce * w_link_pos, axis=(0, 1), dtype=jnp.float32),
+        pos_n)
+    link_neg = _safe_div(
+        jnp.sum(link_ce * w_link_neg, axis=(0, 1), dtype=jnp.float32),
+        neg_n)
     link_loss = jnp.sum(link_pos + link_neg)
 
     total = link_loss + pixel_loss_weight * pixel_loss

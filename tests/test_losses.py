@@ -124,6 +124,24 @@ def test_ohem_pixel_link_matches_numpy_spec(rng):
     assert float(aux["n_pos"]) == (pl == 1).sum()
 
 
+def test_ohem_bf16_optin_close_to_f32(rng, monkeypatch):
+    """OCR_LOSS_BF16=1 (opt-in perf lever) must track the f32 loss to
+    bf16 tolerance — the OHNM selection and final reductions stay f32,
+    so only CE rounding differs."""
+    pl, pg, ll, lg, m = _rand_case(rng)
+    args = (jnp.array(pl), jnp.array(pg), jnp.array(ll), jnp.array(lg),
+            jnp.array(m))
+    f32, _ = L.ohem_pixel_link_loss(*args)
+    monkeypatch.setenv("OCR_LOSS_BF16", "1")
+    bf16, aux = L.ohem_pixel_link_loss(*args)
+    assert float(bf16) == pytest.approx(float(f32), rel=2e-2)
+    assert np.isfinite(float(bf16))
+    g = jax.grad(
+        lambda lgt: L.ohem_pixel_link_loss(args[0], lgt, *args[2:])[0]
+    )(args[1])
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
 def test_ohem_loss_no_positives_is_finite_zero_pixel(rng):
     pl, pg, ll, lg, m = _rand_case(rng)
     pl[:] = 0
