@@ -86,6 +86,11 @@ class LossConfig:
     # crops contribute nothing under OHEM unless this is > 0.
     bg_neg_budget: int = 0
     pixel_loss_weight: float = 2.0  # reference nets/model.py:261
+    # CE-term compute dtype for the OHEM loss: "float32" | "bfloat16".
+    # bf16 keeps OHNM selection + final reductions in f32 and is a
+    # measured +1.5% frozen-BN throughput lever (PERF.md §4.5); the
+    # OCR_LOSS_BF16 env var overrides this for A/B runs.
+    compute_dtype: str = "float32"
     focal_alpha: float = 0.25
     focal_gamma: float = 2.0
     # EAST geometry loss weighting (classic EAST: L = Ls + λ·Lg).

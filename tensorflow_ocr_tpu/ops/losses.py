@@ -125,16 +125,25 @@ def ohem_pixel_link_loss(
     pixel_loss_weight: float = 2.0,
     apply_training_mask: bool = True,
     bg_neg_budget: int = 0,
+    compute_dtype=None,
 ):
     """Reference nets/model.py:204-261, vectorized. Returns (total, aux).
 
-    OCR_LOSS_BF16=1 computes the CE terms and selection weights in
-    bfloat16 with float32 reductions — an A/B lever against the f32 loss
-    traffic in the frozen-BN profile (PERF.md §4); default OFF (f32).
+    ``compute_dtype="bfloat16"`` computes the CE terms and selection
+    weights in bfloat16 with float32 reductions — a measured +1.5%
+    frozen-BN / +1.1% batch-BN lever against the f32 loss traffic in the
+    step profile (PERF.md §4.5); the OHNM sort/selection and every final
+    reduction stay f32. The ``OCR_LOSS_BF16`` env var (1/0) overrides the
+    argument for A/B runs; default (no arg, no env) is float32.
     """
-    cdt = (jnp.bfloat16
-           if os.environ.get("OCR_LOSS_BF16", "0") in ("1", "true", "on")
-           else jnp.float32)
+    env = os.environ.get("OCR_LOSS_BF16")
+    if env is not None:
+        cdt = (jnp.bfloat16 if env in ("1", "true", "on")
+               else jnp.float32)
+    elif compute_dtype is not None:
+        cdt = jnp.dtype(compute_dtype)
+    else:
+        cdt = jnp.float32
     b = pixel_logits.shape[0]
     labels = pixel_labels.reshape(b, -1).astype(jnp.int32)
     logits = pixel_logits.reshape(b, -1, 2).astype(cdt)

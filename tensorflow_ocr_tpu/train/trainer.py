@@ -125,6 +125,7 @@ def make_loss_fn(cfg: Config) -> Callable:
                     max_neg_pos_ratio=lcfg.max_neg_pos_ratio,
                     pixel_loss_weight=lcfg.pixel_loss_weight,
                     bg_neg_budget=getattr(lcfg, "bg_neg_budget", 0),
+                    compute_dtype=getattr(lcfg, "compute_dtype", None),
                 )
             if lcfg.name == "dice":
                 pixel_probs = jax.nn.softmax(

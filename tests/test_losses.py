@@ -142,6 +142,24 @@ def test_ohem_bf16_optin_close_to_f32(rng, monkeypatch):
     assert bool(jnp.all(jnp.isfinite(g)))
 
 
+def test_ohem_compute_dtype_arg_matches_env_path(rng, monkeypatch):
+    """compute_dtype='bfloat16' (the config knob) must produce exactly
+    the env-var lever's value; env overrides the arg for A/B runs."""
+    pl, pg, ll, lg, m = _rand_case(rng)
+    args = (jnp.array(pl), jnp.array(pg), jnp.array(ll), jnp.array(lg),
+            jnp.array(m))
+    via_arg, _ = L.ohem_pixel_link_loss(*args, compute_dtype="bfloat16")
+    monkeypatch.setenv("OCR_LOSS_BF16", "1")
+    via_env, _ = L.ohem_pixel_link_loss(*args)
+    assert float(via_arg) == float(via_env)
+    # env wins over the arg: OCR_LOSS_BF16=0 forces f32 despite the arg
+    monkeypatch.setenv("OCR_LOSS_BF16", "0")
+    forced_f32, _ = L.ohem_pixel_link_loss(*args, compute_dtype="bfloat16")
+    monkeypatch.delenv("OCR_LOSS_BF16")
+    plain_f32, _ = L.ohem_pixel_link_loss(*args)
+    assert float(forced_f32) == float(plain_f32)
+
+
 def test_ohem_loss_no_positives_is_finite_zero_pixel(rng):
     pl, pg, ll, lg, m = _rand_case(rng)
     pl[:] = 0
