@@ -330,13 +330,16 @@ def main():
     else:
         try:
             cfg.model.freeze_bn = True
+            # The fine-tune recipe adopts bf16 loss compute (PERF.md §4.5:
+            # +1.5% throughput; held-out F matched f32 within noise —
+            # QUALITY_r04.json bf16 row). OCR_LOSS_BF16=0 still forces f32.
+            cfg.loss.compute_dtype = "bfloat16"
             tr2 = T.Trainer(cfg, mesh)
             tr2.setup(sample)
             multi2 = T.make_multi_train_step(
                 tr2.model, tr2.tx, cfg, mesh,
                 extra_keys=tuple(ds.labels.keys()),
             )
-            cfg.model.freeze_bn = False
             state2 = tr2.state
 
             def dispatch2(state2):
@@ -349,6 +352,11 @@ def main():
             frozen_skip_reason = f"{type(e).__name__}: {e}"
             dispatch2 = None
             print(f"frozen-BN phase skipped: {e}", file=sys.stderr)
+        finally:
+            # loss config is read at TRACE time (first dispatch2 call),
+            # so restore only after compile+warm, never before.
+            cfg.model.freeze_bn = False
+            cfg.loss.compute_dtype = "float32"
 
     for _ in range(warmup):
         state, metrics = dispatch(state)

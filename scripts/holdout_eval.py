@@ -246,6 +246,11 @@ def main():
             "batch": args.batch,
             "lr": args.lr,
             "loss": cfg.loss.name,
+            # effective dtype incl. the OCR_LOSS_BF16 env override, so A/B
+            # rows in the quality artifact are self-describing
+            "loss_compute_dtype": (
+                "bfloat16" if os.environ.get("OCR_LOSS_BF16", "") == "1"
+                else getattr(cfg.loss, "compute_dtype", "float32")),
             "input_size": size,
             "recipe": {
                 "pretrain_steps": args.pretrain_steps,
