@@ -267,7 +267,14 @@ def main():
                 "val_seed": 1,
                 "scenes": args.scenes,
             },
+            # wall-clock img/s (compile + dataset staging included)
             "train_images_per_sec": round(args.steps * args.batch / dt, 1),
+            # steady-state img/s, compile excluded (median dispatch of the
+            # device-cached scan loop) — comparable to bench.py's number;
+            # absent on the host-augment path
+            "train_images_per_sec_steady": (
+                round(metrics["images_per_sec_steady"], 1)
+                if "images_per_sec_steady" in metrics else None),
             "val": prf(val),
             "train": prf(train),
             "thresholds": ({"score": best_thresholds[0],

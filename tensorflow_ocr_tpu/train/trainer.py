@@ -876,6 +876,7 @@ class Trainer:
         last: Dict[str, float] = {}
         last_save_t = time.time()
         step = 0
+        dispatch_dts = []  # post-compile dispatch walls (first excluded)
         while step < max_steps:
             idx = ds.index_batches(batch, s, rng)
             self.state, metrics = multi(
@@ -889,6 +890,8 @@ class Trainer:
                 break
             dt = time.time() - t0
             t0 = time.time()
+            if step > s:  # first dispatch pays the XLA compile
+                dispatch_dts.append(dt)
             print(
                 f"Step {step:06d}, model loss {last.get('model_loss', 0):.4f}, "
                 f"total loss {last.get('total_loss', 0):.4f}, "
@@ -922,6 +925,12 @@ class Trainer:
                             )
             if self._maybe_handle_preemption():
                 break
+        if dispatch_dts:
+            # steady-state throughput, compile excluded (median dispatch) —
+            # the number comparable to bench.py's; wall-clock img/s stays
+            # the caller's job (quality harness reports both)
+            last["images_per_sec_steady"] = (
+                s * batch / float(np.median(dispatch_dts)))
         return last
 
     def _emit_image_summaries(self, batch, step: int):
