@@ -94,6 +94,9 @@ def test_run_device_cached_loop(dataset, tmp_path):
     metrics = tr.run_device_cached()
     assert np.isfinite(metrics["total_loss"])
     assert int(tr.state.step) == 6
+    # steady-state throughput (compile-excluded): 2 dispatches ran, the
+    # first is excluded as the compile dispatch, so the key must exist
+    assert metrics["images_per_sec_steady"] > 0
 
 
 def test_run_device_cached_rejects_augmentation(dataset):
