@@ -10,6 +10,7 @@ north-star target is >=2000 images/sec/chip at 512x512 on a TPU v5e
 (BASELINE.json). vs_baseline is measured/target.
 """
 
+import copy
 import json
 import os
 import sys
@@ -329,15 +330,20 @@ def main():
         frozen_skip_reason = "BENCH_SKIP_FROZEN set"
     else:
         try:
-            cfg.model.freeze_bn = True
+            # The frozen arm gets its OWN config copy — never mutate the
+            # shared cfg the primary arm's multi_fn reads at trace time
+            # (a mutate-and-restore here would silently bench both arms
+            # as bf16/frozen if any primary dispatch moved earlier).
+            cfg2 = copy.deepcopy(cfg)
+            cfg2.model.freeze_bn = True
             # The fine-tune recipe adopts bf16 loss compute (PERF.md §4.5:
             # +1.5% throughput; held-out F matched f32 within noise —
             # QUALITY_r04.json bf16 row). OCR_LOSS_BF16=0 still forces f32.
-            cfg.loss.compute_dtype = "bfloat16"
-            tr2 = T.Trainer(cfg, mesh)
+            cfg2.loss.compute_dtype = "bfloat16"
+            tr2 = T.Trainer(cfg2, mesh)
             tr2.setup(sample)
             multi2 = T.make_multi_train_step(
-                tr2.model, tr2.tx, cfg, mesh,
+                tr2.model, tr2.tx, cfg2, mesh,
                 extra_keys=tuple(ds.labels.keys()),
             )
             state2 = tr2.state
@@ -352,11 +358,6 @@ def main():
             frozen_skip_reason = f"{type(e).__name__}: {e}"
             dispatch2 = None
             print(f"frozen-BN phase skipped: {e}", file=sys.stderr)
-        finally:
-            # loss config is read at TRACE time (first dispatch2 call),
-            # so restore only after compile+warm, never before.
-            cfg.model.freeze_bn = False
-            cfg.loss.compute_dtype = "float32"
 
     for _ in range(warmup):
         state, metrics = dispatch(state)

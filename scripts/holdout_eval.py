@@ -79,6 +79,7 @@ def main():
 
     from tensorflow_ocr_tpu.config import Config
     from tensorflow_ocr_tpu.data.icdar import make_synthetic_dataset
+    from tensorflow_ocr_tpu.ops.losses import effective_loss_compute_dtype
     from tensorflow_ocr_tpu.parallel.mesh import make_mesh
     from tensorflow_ocr_tpu.train import trainer as T
     from tensorflow_ocr_tpu.train.eval_hook import EvalDuringTraining
@@ -186,6 +187,26 @@ def main():
           f"P={train.get('precision', 0):.3f} "
           f"R={train.get('recall', 0):.3f} F={train.get('fmean', 0):.3f}")
 
+    # Checkpoint-time threshold calibration (train/calibrate.py): sweep on
+    # a 4-image TRAIN slice (never val), then score val at that operating
+    # point — the number a Predictor restoring this checkpoint would get
+    # by default. Closes the static-threshold drift (QUALITY_r04 default
+    # F 0.70 vs swept 0.87 under augmentation).
+    from tensorflow_ocr_tpu.train.calibrate import calibrate_thresholds
+
+    calib = calibrate_thresholds(tr.model, tr.state, cfg, train_dir,
+                                 max_images=4)
+    val_cal = val
+    if calib:
+        kw = ({"score_thresh": calib["score"], "nms_thresh": calib["nms"]}
+              if "score" in calib else
+              {"pixel_thresh": calib["pixel"], "link_thresh": calib["link"]})
+        val_cal = val_hook(tr.model, tr.state, use_ema=True, **kw)
+        print(f"CALIBRATED (train-slice sweep) {calib}: "
+              f"P={val_cal.get('precision', 0):.3f} "
+              f"R={val_cal.get('recall', 0):.3f} "
+              f"F={val_cal.get('fmean', 0):.3f}")
+
     is_east = args.model.startswith("east")
     if is_east:
         best_thresholds = (cfg.infer.score_map_thresh, cfg.infer.nms_thresh)
@@ -246,11 +267,10 @@ def main():
             "batch": args.batch,
             "lr": args.lr,
             "loss": cfg.loss.name,
-            # effective dtype incl. the OCR_LOSS_BF16 env override, so A/B
-            # rows in the quality artifact are self-describing
-            "loss_compute_dtype": (
-                "bfloat16" if os.environ.get("OCR_LOSS_BF16", "") == "1"
-                else getattr(cfg.loss, "compute_dtype", "float32")),
+            # effective dtype incl. the OCR_LOSS_BF16 env override, via the
+            # kernel's own parser so the record can't diverge from the run
+            "loss_compute_dtype": effective_loss_compute_dtype(
+                getattr(cfg.loss, "compute_dtype", None), cfg.loss.name),
             "input_size": size,
             "recipe": {
                 "pretrain_steps": args.pretrain_steps,
@@ -277,6 +297,10 @@ def main():
                 if "images_per_sec_steady" in metrics else None),
             "val": prf(val),
             "train": prf(train),
+            # train-slice-calibrated operating point + val scored there
+            # (what a Predictor restoring this checkpoint serves by default)
+            "calibrated_thresholds": calib,
+            "val_at_calibrated": prf(val_cal),
             "thresholds": ({"score": best_thresholds[0],
                             "nms": best_thresholds[1]} if is_east else
                            {"pixel": best_thresholds[0],

@@ -42,6 +42,25 @@ def _safe_div(num, den):
     return jnp.where(den > 0, num / jnp.maximum(den, 1e-12), 0.0)
 
 
+def effective_loss_compute_dtype(compute_dtype=None, loss_name="ohem"):
+    """Resolve the CE-term compute dtype the OHEM loss will actually use.
+
+    Single source of truth for the ``OCR_LOSS_BF16`` env override (1/true/on
+    -> bfloat16, any other value -> float32, unset -> the config knob) so
+    recording code (scripts/holdout_eval.py) can never diverge from the
+    kernel's own parsing in :func:`ohem_pixel_link_loss`. Only the OHEM loss
+    consumes compute_dtype; for every other loss the answer is float32.
+    """
+    if loss_name != "ohem":
+        return "float32"
+    env = os.environ.get("OCR_LOSS_BF16")
+    if env is not None:
+        return "bfloat16" if env in ("1", "true", "on") else "float32"
+    if compute_dtype is not None and jnp.dtype(compute_dtype) == jnp.bfloat16:
+        return "bfloat16"
+    return "float32"
+
+
 def dice_loss(y_true, y_pred, training_mask):
     """1 - 2*sum(t*p*m) / (sum(t*m) + sum(p*m) + eps)."""
     inter = jnp.sum(y_true * y_pred * training_mask)
@@ -136,14 +155,7 @@ def ohem_pixel_link_loss(
     reduction stay f32. The ``OCR_LOSS_BF16`` env var (1/0) overrides the
     argument for A/B runs; default (no arg, no env) is float32.
     """
-    env = os.environ.get("OCR_LOSS_BF16")
-    if env is not None:
-        cdt = (jnp.bfloat16 if env in ("1", "true", "on")
-               else jnp.float32)
-    elif compute_dtype is not None:
-        cdt = jnp.dtype(compute_dtype)
-    else:
-        cdt = jnp.float32
+    cdt = jnp.dtype(effective_loss_compute_dtype(compute_dtype))
     b = pixel_logits.shape[0]
     labels = pixel_labels.reshape(b, -1).astype(jnp.int32)
     logits = pixel_logits.reshape(b, -1, 2).astype(cdt)

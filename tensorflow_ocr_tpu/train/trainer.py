@@ -694,8 +694,48 @@ class Trainer:
             from tensorflow_ocr_tpu.train.eval_hook import EvalDuringTraining
 
             self.eval_hook = EvalDuringTraining(cfg, cfg.eval.gt_path)
+        self._calib_hook = None  # built lazily on first checkpoint save
         if install_signal_handler:
             self.install_preemption_handler()
+
+    def _maybe_calibrate(self):
+        """Checkpoint-time decode-threshold calibration on a train slice.
+
+        Stores the swept operating point with the checkpoint
+        (train/calibrate.py); infer.Predictor adopts it by default, so
+        the served thresholds track the training recipe instead of the
+        reference's fixed 0.8/0.9. Never allowed to break training.
+        """
+        tcfg = self.cfg.train
+        if not getattr(tcfg, "calibrate_at_checkpoint", False):
+            return None
+        try:
+            from tensorflow_ocr_tpu.train.calibrate import (
+                calibrate_and_store,
+            )
+            from tensorflow_ocr_tpu.train.eval_hook import (
+                EvalDuringTraining,
+            )
+
+            if self._calib_hook is None:
+                self._calib_hook = EvalDuringTraining(
+                    self.cfg, self.cfg.data.training_data_path,
+                    max_images=getattr(tcfg, "calibrate_max_images", 4))
+            if self._calib_hook.images is None:
+                return None
+            op = calibrate_and_store(
+                self.model, self.state, self.cfg,
+                self.cfg.data.training_data_path, tcfg.checkpoint_path,
+                hook=self._calib_hook)
+            if op:
+                print(f"calibrated decode thresholds @ step "
+                      f"{int(self.state.step)}: {op}")
+            return op
+        except Exception as e:  # calibration is best-effort observability
+            logging.getLogger(__name__).warning(
+                "threshold calibration failed: %s: %s",
+                type(e).__name__, e)
+            return None
 
     def install_preemption_handler(self):
         import signal
@@ -773,6 +813,7 @@ class Trainer:
         t0 = time.time()
         last_metrics: Dict[str, float] = {}
         window = cfg.log_every_steps
+        last_log_step = -1  # first window holds a single step, not `window`
         last_save_t = time.time()
         dog = StallWatchdog(cfg.stall_warn_secs)
         try:
@@ -790,10 +831,12 @@ class Trainer:
                         break
                     dt = time.time() - t0
                     t0 = time.time()
-                    n_img = batch["images"].shape[0] * window
+                    n_steps = step - last_log_step
+                    last_log_step = step
+                    n_img = batch["images"].shape[0] * n_steps
                     print(
                         f"Step {step:06d}, model loss {last_metrics.get('model_loss', 0):.4f}, "
-                        f"total loss {tl:.4f}, {dt / window:.3f} s/step, "
+                        f"total loss {tl:.4f}, {dt / n_steps:.3f} s/step, "
                         f"{n_img / dt:.1f} examples/s"
                     )
                     if self.summary_writer is not None:
@@ -814,6 +857,7 @@ class Trainer:
                                     block=False,
                                     max_to_keep=cfg.max_checkpoints_to_keep)
                     last_save_t = time.time()
+                    self._maybe_calibrate()
                 if self._maybe_handle_preemption(batches):
                     break
         finally:
@@ -872,12 +916,16 @@ class Trainer:
 
     def _device_cached_loop(self, cfg, ds, ds_dev, idx_sh, multi, rng, s,
                             batch, max_steps, dog):
-        t0 = time.time()
         last: Dict[str, float] = {}
         last_save_t = time.time()
         step = 0
         dispatch_dts = []  # post-compile dispatch walls (first excluded)
         while step < max_steps:
+            # t0 here (not at loop end) so dt covers only index draw +
+            # dispatch + sync — host work from the previous iteration
+            # (prints, summaries, checkpoint enqueue, eval hook) must not
+            # pollute the steady-state dispatch timing.
+            t0 = time.time()
             idx = ds.index_batches(batch, s, rng)
             self.state, metrics = multi(
                 self.state, ds_dev, jax.device_put(idx, idx_sh)
@@ -889,7 +937,6 @@ class Trainer:
                 print("Loss diverged, stop training")
                 break
             dt = time.time() - t0
-            t0 = time.time()
             if step > s:  # first dispatch pays the XLA compile
                 dispatch_dts.append(dt)
             print(
@@ -910,6 +957,7 @@ class Trainer:
                     cfg.train.checkpoint_path, self.state, block=False,
                     max_to_keep=cfg.train.max_checkpoints_to_keep)
                 last_save_t = time.time()
+                self._maybe_calibrate()
             if (self.eval_hook is not None and cfg.train.eval_every_steps
                     and step % max(cfg.train.eval_every_steps, s) == 0):
                 r = self.eval_hook(self.model, self.state)
@@ -926,8 +974,9 @@ class Trainer:
             if self._maybe_handle_preemption():
                 break
         if dispatch_dts:
-            # steady-state throughput, compile excluded (median dispatch) —
-            # the number comparable to bench.py's; wall-clock img/s stays
+            # steady-state throughput, compile excluded (median dispatch).
+            # Unit: whole-mesh images/sec (divide by mesh size for the
+            # per-chip number bench.py reports); wall-clock img/s stays
             # the caller's job (quality harness reports both)
             last["images_per_sec_steady"] = (
                 s * batch / float(np.median(dispatch_dts)))
