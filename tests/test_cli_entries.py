@@ -10,6 +10,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tensorflow_ocr_tpu.data import icdar
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-model/shard_map/Pallas programs (pytest.ini)
+
 
 @pytest.fixture(scope="module")
 def dataset(tmp_path_factory):

@@ -67,6 +67,7 @@ def test_convert_writes_mappable_npz(slim_ckpt, tmp_path):
     assert "logits" not in str(tree)
 
 
+@pytest.mark.slow  # trains/initializes a full model (pytest.ini)
 def test_converted_npz_warm_starts_model(slim_ckpt, tmp_path):
     import jax
     import jax.numpy as jnp

@@ -251,6 +251,42 @@ def test_extract_components_budget_overflow_stays_finite():
     assert np.asarray(valid2).sum() >= 2
 
 
+def test_overflow_retry_detection_and_full_budget_heal():
+    """overflow_retry_needed: True exactly on the budget-overflow outcome
+    (size-qualified component invalidated), False on a clean decode or on
+    components failing min_size alone; a full-budget re-run heals it —
+    the Predictor/eval_hook self-healing contract (VERDICT r4 item 5)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tensorflow_ocr_tpu.ops.decode import (
+        connected_components, extract_components, link_adjacency,
+        overflow_retry_needed, pixellink_decode,
+    )
+
+    mask = np.ones((16, 16), bool)
+    links = jnp.ones((16, 16, 8), jnp.float32)
+    edges = link_adjacency(jnp.asarray(mask), links, 0.5)
+    labels = connected_components(edges, jnp.asarray(mask))
+
+    # overflow: 256 foreground px vs a 32-px budget
+    _, sizes, valid = extract_components(
+        labels, max_components=8, min_size=5, max_pixels=32)
+    assert overflow_retry_needed(sizes, valid, min_size=5)
+
+    # the prescribed heal: re-run with max_pixels = h*w -> exact & clean
+    _, sizes_f, valid_f = extract_components(
+        labels, max_components=8, min_size=5, max_pixels=256)
+    assert not overflow_retry_needed(sizes_f, valid_f, min_size=5)
+    assert np.asarray(valid_f).sum() == 1  # the single dense component
+
+    # min_size-only rejection must NOT trigger a retry
+    ps = jnp.zeros((16, 16), jnp.float32).at[2, 2].set(1.0)
+    ls = jnp.ones((16, 16, 8), jnp.float32)
+    _, sizes_s, valid_s = pixellink_decode(ps, ls, 0.5, 0.5, min_size=10)
+    assert not np.asarray(valid_s).any()
+    assert not overflow_retry_needed(sizes_s, valid_s, min_size=10)
+
+
 def test_pixellink_decode_fuzz_no_nonfinite():
     """Property: decode never emits non-finite box coordinates or
     negative sizes, across random dense/sparse score maps and threshold

@@ -10,6 +10,8 @@ from tensorflow_ocr_tpu.parallel.mesh import make_mesh
 from tensorflow_ocr_tpu.train import trainer as T
 from tensorflow_ocr_tpu.train.eval_hook import EvalDuringTraining
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-model/shard_map/Pallas programs (pytest.ini)
+
 
 @pytest.fixture(scope="module")
 def dataset(tmp_path_factory):

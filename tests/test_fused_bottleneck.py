@@ -14,6 +14,8 @@ import jax.numpy as jnp
 from tensorflow_ocr_tpu.models.resnet import Bottleneck, FusedBottleneck
 from tensorflow_ocr_tpu.ops import pallas_fused as PF
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-model/shard_map/Pallas programs (pytest.ini)
+
 
 @pytest.fixture(autouse=True)
 def _interpret():

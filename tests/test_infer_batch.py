@@ -11,6 +11,8 @@ from tensorflow_ocr_tpu.ops.labels import (
     pixellink_labels_stride,
 )
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-model/shard_map/Pallas programs (pytest.ini)
+
 
 def test_stride_direct_score_matches_fullres_subsample():
     """Score maps from stride-direct rasterization must be bit-identical to

@@ -62,6 +62,7 @@ def test_warm_start_exclude_scopes():
     assert float(merged["head"]["kernel"][0]) == 1.0
 
 
+@pytest.mark.slow  # trains/initializes a full model (pytest.ini)
 def test_grad_reduce_sum_config_smoke(tmp_path):
     from tensorflow_ocr_tpu.data import icdar
     from tensorflow_ocr_tpu.data.pipeline import batch_generator

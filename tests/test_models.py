@@ -9,6 +9,8 @@ from tensorflow_ocr_tpu.models import build_model
 from tensorflow_ocr_tpu.models.resnet import resnet_v1
 from tensorflow_ocr_tpu.models.vgg import VGG16
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-model/shard_map/Pallas programs (pytest.ini)
+
 
 @pytest.fixture(scope="module")
 def img64():

@@ -58,36 +58,56 @@ def test_standard_nms_matches_naive():
         np.testing.assert_allclose(got, want)
 
 
-def test_nms_candidate_cap_preserves_raster_order():
-    # the cap must keep the top-K scores in their ORIGINAL relative
-    # (raster) order — the merge pass depends on row adjacency. Pin it
-    # directly: capped call == manual top-K slice in input order.
+def test_nms_cap_applies_after_merge_no_run_splitting():
+    # VERDICT r4 item 7: the cap must never split adjacency runs. The
+    # merge pass now sees ALL candidates; >max_candidates raw inputs that
+    # merge below the cap give output identical to the uncapped call.
     rng = np.random.RandomState(1)
-    polys = _random_quads(rng, 50)
-    K = 30
-    top = np.sort(np.argpartition(-polys[:, 8], K)[:K])
-    import warnings
-
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore", RuntimeWarning)
-        kept = N.locality_aware_nms(polys, 0.3, max_candidates=K)
-    want = N.locality_aware_nms(polys[top], 0.3, max_candidates=0)
-    np.testing.assert_allclose(kept, want)
+    base = _random_quads(rng, 3)
+    rows = []
+    for b in base:  # 3 runs of 600 near-identical raster candidates
+        for _ in range(600):
+            r = b.copy()
+            r[:8] += rng.uniform(-0.5, 0.5, 8)
+            rows.append(r)
+    polys = np.stack(rows)  # 1800 > the 1024 default cap
+    capped = N.locality_aware_nms(polys, 0.3, max_candidates=1024)
+    uncapped = N.locality_aware_nms(polys, 0.3, max_candidates=0)
+    np.testing.assert_allclose(capped, uncapped)
+    assert len(capped) <= 3
 
 
 def test_nms_cap_warns_when_triggered():
     import warnings
 
     rng = np.random.RandomState(3)
-    polys = _random_quads(rng, 20)
+    # non-overlapping quads on a wide grid: nothing merges, so the
+    # post-merge set still exceeds the cap
+    polys = _random_quads(rng, 40, spread=5000.0)
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        N.locality_aware_nms(polys, 0.3, max_candidates=10)
+        kept = N.locality_aware_nms(polys, 0.3, max_candidates=10)
     assert any("capped" in str(x.message) for x in w)
+    assert len(kept) <= 10
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         N.locality_aware_nms(polys, 0.3, max_candidates=0)  # uncapped
     assert not w
+
+
+def test_batch_quad_iou_matches_scalar():
+    rng = np.random.RandomState(5)
+    a = _random_quads(rng, 64)[:, :8].reshape(-1, 4, 2)
+    b = _random_quads(rng, 64)[:, :8].reshape(-1, 4, 2)
+    # mix in guaranteed-overlapping pairs (shifted copies)
+    b[:32] = a[:32] + rng.uniform(-10, 10, (32, 1, 2))
+    got = N.batch_quad_iou(a, b)
+    want = np.array([N.quad_iou(a[i], b[i]) for i in range(len(a))])
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    assert got[:32].max() > 0.1  # the batch actually exercised overlaps
+    # clip-orientation robustness: clockwise clip quads give the same IoU
+    got_cw = N.batch_quad_iou(a, b[:, ::-1])
+    np.testing.assert_allclose(got_cw, want, atol=1e-5)
 
 
 def test_dense_overlapping_map_is_tractable():

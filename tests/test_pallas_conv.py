@@ -14,6 +14,8 @@ import jax.numpy as jnp
 
 from tensorflow_ocr_tpu.ops import pallas_conv as PCV
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-model/shard_map/Pallas programs (pytest.ini)
+
 
 @pytest.fixture(autouse=True)
 def _interpret():

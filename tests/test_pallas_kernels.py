@@ -1,6 +1,7 @@
 """Pallas CC kernel vs the XLA reference implementation (interpret mode on CPU)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from tensorflow_ocr_tpu.ops import decode as D
@@ -8,6 +9,8 @@ from tensorflow_ocr_tpu.ops.pallas_kernels import (
     connected_components_pallas,
     pack_edges,
 )
+
+pytestmark = pytest.mark.slow  # compile-heavy: full-model/shard_map/Pallas programs (pytest.ini)
 
 
 def _partition(labels, mask):

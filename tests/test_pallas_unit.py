@@ -15,6 +15,8 @@ import jax.numpy as jnp
 
 from tensorflow_ocr_tpu.ops import pallas_unit as PU
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-model/shard_map/Pallas programs (pytest.ini)
+
 
 @pytest.fixture(autouse=True)
 def _interpret():

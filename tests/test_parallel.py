@@ -13,6 +13,8 @@ from tensorflow_ocr_tpu.parallel import (
 )
 from tensorflow_ocr_tpu.parallel import multihost
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-model/shard_map/Pallas programs (pytest.ini)
+
 
 def test_make_mesh_sizes(cpu_devices):
     assert make_mesh().devices.size == 8

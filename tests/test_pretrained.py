@@ -11,6 +11,8 @@ from tensorflow_ocr_tpu.train.pretrained import (
     slim_to_flax_key,
 )
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-model/shard_map/Pallas programs (pytest.ini)
+
 
 def test_name_mapping_resnet():
     assert slim_to_flax_key("resnet_v1_50/conv1/weights") == (

@@ -10,6 +10,7 @@ restore in ops/decode.east_detect.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tensorflow_ocr_tpu.config import Config
 from tensorflow_ocr_tpu.models import build_model
@@ -77,6 +78,7 @@ def test_quad_decode_restores_quads():
         np.testing.assert_allclose(q, QUAD * 4.0, atol=1e-3)
 
 
+@pytest.mark.slow  # trains/initializes a full model (pytest.ini)
 def test_quad_head_and_train_step_learns():
     from tensorflow_ocr_tpu.parallel.mesh import make_mesh
     from tensorflow_ocr_tpu.train import trainer as T

@@ -3,12 +3,15 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from tensorflow_ocr_tpu.models import build_model
 from tensorflow_ocr_tpu.parallel.spatial import (
     make_spatial_mesh,
     spatial_forward,
 )
+
+pytestmark = pytest.mark.slow  # compile-heavy: full-model/shard_map/Pallas programs (pytest.ini)
 
 
 def test_spatial_sharded_forward_matches_single_device(cpu_devices):

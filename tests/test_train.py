@@ -12,6 +12,8 @@ from tensorflow_ocr_tpu.parallel.mesh import make_mesh
 from tensorflow_ocr_tpu.train import trainer as T
 from tensorflow_ocr_tpu.train import optim
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-model/shard_map/Pallas programs (pytest.ini)
+
 
 def _tiny_cfg(path, model="pixellink_vgg16", loss="ohem", batch=2, size=64):
     cfg = Config()
