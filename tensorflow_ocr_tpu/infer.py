@@ -87,11 +87,42 @@ class Predictor:
         # strides (the 2s head: x4 pixels per instance at stride 2).
         self.min_size = int(round(
             cfg.infer.min_component_size * (4.0 / self.stride) ** 2))
-        self._fwd_cache: Dict[Tuple[int, int], callable] = {}
+        # Decode operating point: the static config defaults, unless the
+        # checkpoint carries a calibrated one (train/calibrate.py sweeps
+        # thresholds on a train-split slice at checkpoint time — the
+        # reference's fixed 0.8/0.9 drift with the training recipe).
+        icfg = cfg.infer
+        self.pixel_thresh = icfg.pixel_conf_threshold
+        self.link_thresh = icfg.link_conf_threshold
+        self.score_thresh = icfg.score_map_thresh
+        self.nms_thresh = icfg.nms_thresh
+        self.calibrated = False
+        if getattr(icfg, "use_calibrated_thresholds", True):
+            from tensorflow_ocr_tpu.train.calibrate import (
+                load_operating_point,
+            )
 
-    def _fwd(self, shape: Tuple[int, int]):
-        if shape not in self._fwd_cache:
+            op = load_operating_point(icfg.checkpoint_path)
+            if op:
+                self.pixel_thresh = float(op.get("pixel", self.pixel_thresh))
+                self.link_thresh = float(op.get("link", self.link_thresh))
+                self.score_thresh = float(op.get("score", self.score_thresh))
+                self.nms_thresh = float(op.get("nms", self.nms_thresh))
+                self.calibrated = True
+        self._fwd_cache: Dict[Tuple[int, int], callable] = {}
+        # Budget-overflow retries (decode.overflow_retry_needed): count of
+        # full-budget re-dispatches — observable, never silent zero boxes.
+        self.overflow_retries = 0
+
+    # extract_components clamps max_pixels to h*w, so "full budget" needs
+    # no per-shape arithmetic — any value >= the label-map area is exact.
+    _FULL_BUDGET = 1 << 30
+
+    def _fwd(self, shape: Tuple[int, int], full_budget: bool = False):
+        key = (shape, full_budget)
+        if key not in self._fwd_cache:
             icfg = self.cfg.infer
+            mp = self._FULL_BUDGET if full_budget else None
 
             if self.is_east:
                 @jax.jit
@@ -99,7 +130,7 @@ class Predictor:
                     out = self.model.apply(variables, image)
                     quads, scores, valid = D.east_detect(
                         out["score"][0, :, :, 0], out["geometry"][0],
-                        score_thresh=icfg.score_map_thresh,
+                        score_thresh=self.score_thresh,
                     )
                     return quads, scores, valid
             else:
@@ -109,18 +140,21 @@ class Predictor:
                     ps, ls = pixel_link_scores(out)
                     return D.pixellink_decode(
                         ps[0], ls[0],
-                        pixel_thresh=icfg.pixel_conf_threshold,
-                        link_thresh=icfg.link_conf_threshold,
+                        pixel_thresh=self.pixel_thresh,
+                        link_thresh=self.link_thresh,
                         min_size=self.min_size,
                         max_components=icfg.max_components,
+                        max_pixels=mp,
                     )
-            self._fwd_cache[shape] = run
-        return self._fwd_cache[shape]
+            self._fwd_cache[key] = run
+        return self._fwd_cache[key]
 
-    def _batch_fwd(self, shape: Tuple[int, int, int]):
-        key = ("batch",) + shape
+    def _batch_fwd(self, shape: Tuple[int, int, int],
+                   full_budget: bool = False):
+        key = ("batch",) + shape + (full_budget,)
         if key not in self._fwd_cache:
             icfg = self.cfg.infer
+            mp = self._FULL_BUDGET if full_budget else None
 
             if self.is_east:
                 @jax.jit
@@ -130,7 +164,7 @@ class Predictor:
                     def one(score, geo):
                         return D.east_detect(
                             score[:, :, 0], geo,
-                            score_thresh=icfg.score_map_thresh,
+                            score_thresh=self.score_thresh,
                         )
                     return jax.vmap(one)(out["score"], out["geometry"])
             else:
@@ -142,16 +176,17 @@ class Predictor:
                     def one(ps, ls):
                         return D.pixellink_decode(
                             ps, ls,
-                            pixel_thresh=icfg.pixel_conf_threshold,
-                            link_thresh=icfg.link_conf_threshold,
+                            pixel_thresh=self.pixel_thresh,
+                            link_thresh=self.link_thresh,
                             min_size=self.min_size,
                             max_components=icfg.max_components,
+                            max_pixels=mp,
                         )
                     return jax.vmap(one)(ps_all, ls_all)
             self._fwd_cache[key] = run
         return self._fwd_cache[key]
 
-    def _finalize_batch(self, out, n: int) -> List[List[np.ndarray]]:
+    def _finalize_batch(self, out, x, n: int) -> List[List[np.ndarray]]:
         """Fetch one batch's device outputs and build per-image box lists.
 
         The np.asarray fetches block until THIS batch's program finished;
@@ -164,7 +199,7 @@ class Predictor:
                 polys = np.concatenate(
                     [quads[b].reshape(-1, 8), scores[b][:, None]], axis=1
                 )[valid[b]]
-                kept = N.locality_aware_nms(polys, icfg.nms_thresh,
+                kept = N.locality_aware_nms(polys, self.nms_thresh,
                                             icfg.nms_max_candidates)
                 results.append(
                     [k[:8].reshape(4, 2) for k in kept
@@ -172,6 +207,13 @@ class Predictor:
                 )
             return results
         raw_boxes, sizes, valid = map(np.asarray, out)
+        if D.overflow_retry_needed(sizes, valid, self.min_size):
+            # dense map blew the foreground budget: one exact re-dispatch
+            self.overflow_retries += 1
+            run = self._batch_fwd(tuple(np.asarray(x).shape[1:]),
+                                  full_budget=True)
+            raw_boxes, sizes, valid = map(
+                np.asarray, run(self.variables, x))
         return [
             [b * self.stride for b in raw_boxes[i][valid[i]]]
             for i in range(n)
@@ -183,7 +225,9 @@ class Predictor:
         # host->device traffic, which dominates batch latency)
         x = jnp.asarray(images_rgb)
         run = self._batch_fwd(tuple(images_rgb.shape[1:]))
-        return run(self.variables, x), len(images_rgb)
+        # keep x: the overflow retry re-dispatches on the device-resident
+        # images without a second host->device transfer
+        return run(self.variables, x), x, len(images_rgb)
 
     def detect_batch(self, images_rgb: np.ndarray
                      ) -> List[List[np.ndarray]]:
@@ -196,8 +240,8 @@ class Predictor:
         For a stream of batches, prefer :meth:`detect_batches` — it
         overlaps the host->device image transfer with device compute.
         """
-        out, n = self._submit_batch(images_rgb)
-        return self._finalize_batch(out, n)
+        out, x, n = self._submit_batch(images_rgb)
+        return self._finalize_batch(out, x, n)
 
     def detect_batches(self, batches, depth: int = 2):
         """Pipelined serving path over a stream of same-shaped batches.
@@ -238,12 +282,19 @@ class Predictor:
             polys = np.concatenate(
                 [quads.reshape(-1, 8), scores[:, None]], axis=1
             )[valid]
-            kept = N.locality_aware_nms(polys, icfg.nms_thresh,
+            kept = N.locality_aware_nms(polys, self.nms_thresh,
                                         icfg.nms_max_candidates)
             boxes = [k[:8].reshape(4, 2) for k in kept if k[8] > icfg.box_thresh]
         else:
             raw_boxes, sizes, valid = run(self.variables, x)
-            raw_boxes, valid = np.asarray(raw_boxes), np.asarray(valid)
+            raw_boxes = np.asarray(raw_boxes)
+            sizes, valid = np.asarray(sizes), np.asarray(valid)
+            if D.overflow_retry_needed(sizes, valid, self.min_size):
+                # dense map blew the foreground budget: one exact re-run
+                self.overflow_retries += 1
+                run = self._fwd(im_resized.shape[:2], full_budget=True)
+                raw_boxes, sizes, valid = map(
+                    np.asarray, run(self.variables, x))
             boxes = [b * self.stride for b in raw_boxes[valid]]
         net_ms = (time.time() - t0) * 1000
         out = []

@@ -54,8 +54,11 @@ class EvalDuringTraining:
             self.gts.append((gt * scale, ignored))
         self.images = np.stack(self.images) if self.images else None
         self._run = None
+        self._run_full = None  # full-budget decode for overflow retries
+        # count of full-budget re-dispatches (decode.overflow_retry_needed)
+        self.overflow_retries = 0
 
-    def _build(self, model):
+    def _build(self, model, max_pixels: int | None = None):
         icfg = self.cfg.infer
 
         if self.is_east:
@@ -85,6 +88,7 @@ class EvalDuringTraining:
                         link_thresh=link_thresh,
                         min_size=self.min_size,
                         max_components=icfg.max_components,
+                        max_pixels=max_pixels,
                     )
                 return jax.vmap(one)(ps_all, ls_all)
         return run
@@ -130,6 +134,17 @@ class EvalDuringTraining:
             raw, sizes, valid = map(
                 np.asarray,
                 self._run(variables, x, jnp.float32(pt), jnp.float32(lt)))
+            if D.overflow_retry_needed(sizes, valid, self.min_size):
+                # dense map blew the decode's foreground budget (common
+                # early in training / at low thresholds): one exact
+                # full-budget re-dispatch instead of a silent F=0
+                self.overflow_retries += 1
+                if self._run_full is None:
+                    self._run_full = self._build(model, max_pixels=1 << 30)
+                raw, sizes, valid = map(
+                    np.asarray,
+                    self._run_full(variables, x,
+                                   jnp.float32(pt), jnp.float32(lt)))
             stride = float(self.stride)
             for b, (gt, ignored) in enumerate(self.gts):
                 boxes = raw[b][valid[b]] * stride
