@@ -54,6 +54,7 @@ def main(argv):
     if cfg.train.use_device_cache:
         trainer.run_device_cached(max_steps=cfg.train.max_steps)
         save_checkpoint(cfg.train.checkpoint_path, trainer.state)
+        trainer._maybe_calibrate()  # operating point for the final ckpt
         return
 
     loader = PrefetchLoader(cfg.data, want_east=want_east, seed=cfg.train.seed)
@@ -68,6 +69,7 @@ def main(argv):
     try:
         trainer.run(batches(), max_steps=cfg.train.max_steps)
         save_checkpoint(cfg.train.checkpoint_path, trainer.state)
+        trainer._maybe_calibrate()  # operating point for the final ckpt
     finally:
         loader.stop()
 

@@ -129,6 +129,14 @@ class TrainConfig:
     # train_pixellink.py:380 Saver max_to_keep=500); 0 = keep all.
     max_checkpoints_to_keep: int = 0
     save_summary_steps: int = 20
+    # Calibrate decode thresholds on a small TRAIN-split slice whenever a
+    # checkpoint is saved, storing the operating point with the checkpoint
+    # (train/calibrate.py; infer.Predictor adopts it by default). Static
+    # reference-style thresholds drift with the training recipe
+    # (QUALITY_r04: default F 0.70 vs swept 0.87 under augmentation).
+    calibrate_at_checkpoint: bool = True
+    # Images drawn from the train split for calibration (never val).
+    calibrate_max_images: int = 4
     pretrained_model_path: Optional[str] = None
     log_every_steps: int = 10
     # warn (never kill) when no train step completes for this many
@@ -180,6 +188,10 @@ class InferConfig:
     # host LANMS input cap (top-K by score, raster order preserved);
     # bounds the O(K^2) suppression loop on dense score maps. 0 = no cap.
     nms_max_candidates: int = 1024
+    # Adopt the checkpoint's calibrated operating point
+    # (train/calibrate.py writes operating_point.json next to the
+    # checkpoints) in place of the static threshold defaults above.
+    use_calibrated_thresholds: bool = True
 
 
 @dataclass

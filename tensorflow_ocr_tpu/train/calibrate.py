@@ -1,0 +1,112 @@
+"""Checkpoint-time decode-threshold calibration (no val leakage).
+
+The reference ships fixed decode thresholds (pixel/link 0.8/0.9,
+test.py:56 and test_pixellink_fast.py:119-150) and never revisits them;
+round-4 measurements showed the optimal operating point drifts with the
+training recipe (augmentation moved the flagship's best pixel threshold
+well below the static default — QUALITY_r04 default F 0.70 vs swept
+0.87). This module closes that gap the way serving systems do: sweep
+thresholds on a small slice of the TRAIN split (never the val set) right
+after training / at checkpoint time, and store the chosen operating
+point WITH the checkpoint. ``infer.Predictor`` picks it up by default.
+
+Sweeps are cheap: decode thresholds are traced arguments of the jitted
+eval program (train/eval_hook.py), so the full grid reuses one compile.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+OPERATING_POINT_FILE = "operating_point.json"
+
+# default sweep grids (same ranges as scripts/holdout_eval.py's --sweep)
+PIXEL_GRID = (0.5, 0.6, 0.7, 0.8, 0.9)
+LINK_GRID = (0.5, 0.7, 0.8, 0.9)
+SCORE_GRID = (0.5, 0.6, 0.7, 0.8, 0.9)
+NMS_GRID = (0.1, 0.2, 0.3)
+
+
+def calibrate_thresholds(model, state, cfg, train_dir: str,
+                         max_images: int = 4,
+                         hook=None) -> Optional[Dict[str, float]]:
+    """Sweep decode thresholds on a train-split slice; return the best.
+
+    Returns {"pixel": p, "link": l, "fmean": f} for pixel/link families or
+    {"score": s, "nms": n, "fmean": f} for EAST, or None when the slice
+    holds no usable images. ``hook`` injects a prebuilt
+    EvalDuringTraining (tests); by default one is built on ``train_dir``.
+    """
+    from tensorflow_ocr_tpu.train.eval_hook import EvalDuringTraining
+
+    if hook is None:
+        hook = EvalDuringTraining(cfg, train_dir, max_images=max_images)
+    if hook.images is None:
+        return None
+    is_east = cfg.model.name.startswith("east")
+    best_f, best = -1.0, None
+    if is_east:
+        for st in SCORE_GRID:
+            for nt in NMS_GRID:
+                r = hook(model, state, use_ema=True,
+                         score_thresh=st, nms_thresh=nt)
+                f = r.get("fmean", 0.0)
+                if f > best_f:
+                    best_f, best = f, {"score": st, "nms": nt}
+    else:
+        for pt in PIXEL_GRID:
+            for lt in LINK_GRID:
+                r = hook(model, state, use_ema=True,
+                         pixel_thresh=pt, link_thresh=lt)
+                f = r.get("fmean", 0.0)
+                if f > best_f:
+                    best_f, best = f, {"pixel": pt, "link": lt}
+    if best is None:
+        return None
+    best["fmean"] = round(best_f, 4)
+    return best
+
+
+def save_operating_point(ckpt_dir: str, op: Dict[str, float],
+                         step: Optional[int] = None) -> str:
+    """Write the calibrated operating point next to the checkpoints.
+
+    One file at the checkpoint root (latest calibration wins) — the
+    operating point travels with the directory exactly like the
+    reference's fixed flags travelled with its launch scripts.
+    """
+    os.makedirs(ckpt_dir, exist_ok=True)
+    rec = dict(op)
+    if step is not None:
+        rec["step"] = int(step)
+    path = os.path.join(ckpt_dir, OPERATING_POINT_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(rec, f, indent=1)
+        f.write("\n")
+    os.replace(tmp, path)  # atomic: readers never see a torn file
+    return path
+
+
+def load_operating_point(ckpt_dir: str) -> Optional[Dict[str, float]]:
+    """Read a stored operating point, or None if absent/corrupt."""
+    path = os.path.join(str(ckpt_dir), OPERATING_POINT_FILE)
+    try:
+        with open(path) as f:
+            op = json.load(f)
+        return op if isinstance(op, dict) else None
+    except (OSError, ValueError):
+        return None
+
+
+def calibrate_and_store(model, state, cfg, train_dir: str, ckpt_dir: str,
+                        max_images: int = 4,
+                        hook=None) -> Optional[Dict[str, float]]:
+    """Convenience: calibrate on the train slice and persist the result."""
+    op = calibrate_thresholds(model, state, cfg, train_dir,
+                              max_images=max_images, hook=hook)
+    if op is not None:
+        save_operating_point(ckpt_dir, op, step=int(state.step))
+    return op
