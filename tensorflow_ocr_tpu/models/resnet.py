@@ -377,17 +377,34 @@ class ResNetV1(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
+        import os
+
         ep: Dict[str, jnp.ndarray] = {}
         s2d = self.s2d_stem
         if s2d is None:
-            import os
-
             s2d = os.environ.get("OCR_S2D_STEM", "0") not in (
                 "0", "false", "off")
-        # root (resnet_v1.py:188-196)
+        # root (resnet_v1.py:188-196). relu and max-pool commute (relu is
+        # monotone, so maxpool(relu(z)) == relu(maxpool(z)) exactly, values
+        # AND subgradients); pooling FIRST moves the stem relu pass and its
+        # backward mask from the 256^2 map to the 4x smaller pooled map.
+        # Measured A/B (bench.py, b32/512, PERF.md §4.7): frozen-BN
+        # 573.6 -> 587.1 img/s (+2.4%) but batch-BN 444.3 -> 436.1
+        # (-1.8%, the split BN-stats/relu fusion costs more than the
+        # smaller relu saves), so the default follows the same switch as
+        # the BN fold: pool-first when train=False (freeze_bn fine-tune +
+        # every inference path), reference order when train=True.
+        # OCR_POOL_BEFORE_RELU=0/1 forces either arm for A/Bs.
+        env = os.environ.get("OCR_POOL_BEFORE_RELU", "auto")
+        pool_first = (not train) if env in ("auto", "") else env in (
+            "1", "true", "on")
         x = ConvBN(64, (7, 7), (2, 2), explicit_pad=True, dtype=self.dtype,
-                   space_to_depth=s2d, name="conv1")(x, train)
+                   space_to_depth=s2d,
+                   activation=None if pool_first else nn.relu,
+                   name="conv1")(x, train)
         x = stem_max_pool(x)
+        if pool_first:
+            x = nn.relu(x)
         ep["pool2"] = x
 
         target = None

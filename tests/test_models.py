@@ -196,3 +196,36 @@ def test_convbn_frozen_fold_matches_unfolded_math():
     g = jax.grad(loss)(params)
     assert float(jnp.max(jnp.abs(g["Conv_0"]["kernel"]))) > 0
     assert float(jnp.max(jnp.abs(g["BatchNorm_0"]["scale"]))) > 0
+
+
+def test_pool_before_relu_exact(rng, monkeypatch):
+    """relu/max-pool commute (relu monotone): the pooled-first stem
+    (OCR_POOL_BEFORE_RELU=1, PERF.md §4.7) must match the reference
+    order exactly — outputs and gradients (param tree is identical)."""
+    from tensorflow_ocr_tpu.models.resnet import ResNetV1
+
+    x = jnp.asarray(rng.randn(1, 64, 64, 3), jnp.float32)
+    m = ResNetV1(units=(1, 1, 1, 1), dtype=jnp.float32)
+    monkeypatch.setenv("OCR_POOL_BEFORE_RELU", "0")
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+
+    def run_and_grad():
+        out = m.apply(v, x, train=False)
+
+        def loss(p):
+            o = m.apply({"params": p, **{k: v[k] for k in v
+                                         if k != "params"}}, x, train=False)
+            return sum(jnp.sum(e.astype(jnp.float32) ** 2)
+                       for e in jax.tree_util.tree_leaves(o))
+        g = jax.grad(loss)(v["params"])
+        return out, g
+
+    ref_out, ref_g = run_and_grad()
+    monkeypatch.setenv("OCR_POOL_BEFORE_RELU", "1")
+    new_out, new_g = run_and_grad()
+    for k in ref_out:
+        np.testing.assert_allclose(np.asarray(new_out[k]),
+                                   np.asarray(ref_out[k]), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_g),
+                    jax.tree_util.tree_leaves(new_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
