@@ -64,6 +64,10 @@ def main():
                          "thresholds on the held-out set (single compile: "
                          "thresholds are traced args) and report the best "
                          "operating point")
+    ap.add_argument("--geometry", default="RBOX", choices=["RBOX", "QUAD"],
+                    help="EAST head geometry (reference datasets/icdar.py"
+                         ":29-30 declares QUAD but never implements it; "
+                         "here both are real end to end)")
     ap.add_argument("--scenes", default="v1", choices=["v1", "v2"],
                     help="hard-scene generation tier: v1 (round-2 set; "
                          "saturated at F~0.67) or v2 (perspective warp, "
@@ -102,6 +106,7 @@ def main():
         cfg.loss.name = args.loss or (
             "east" if args.model.startswith("east") else "ohem")
         cfg.data.input_size = size
+        cfg.data.geometry = args.geometry
         cfg.data.batch_size = args.batch
         cfg.data.max_polys = 16
         cfg.data.min_text_size = 5
@@ -263,6 +268,7 @@ def main():
 
         record = {
             "model": args.model,
+            "geometry": args.geometry if is_east else None,
             "steps": args.steps,
             "batch": args.batch,
             "lr": args.lr,
