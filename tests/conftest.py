@@ -18,8 +18,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: the suite is dominated by XLA CPU compiles of
-# the train/model programs; caching makes re-runs ~10x faster.
-jax.config.update("jax_compilation_cache_dir", "/tmp/ocr_jax_cache")
+# the train/model programs; caching makes re-runs ~10x faster. Scoped by a
+# host-CPU fingerprint — entries AOT-compiled on a different machine stall
+# or kill device threads when loaded (see utils/xla_cache.py).
+from tensorflow_ocr_tpu.utils.xla_cache import machine_scoped_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  machine_scoped_cache_dir("/tmp/ocr_jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
