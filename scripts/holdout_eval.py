@@ -68,11 +68,13 @@ def main():
                     help="EAST head geometry (reference datasets/icdar.py"
                          ":29-30 declares QUAD but never implements it; "
                          "here both are real end to end)")
-    ap.add_argument("--scenes", default="v1", choices=["v1", "v2"],
+    ap.add_argument("--scenes", default="v1", choices=["v1", "v2", "photo"],
                     help="hard-scene generation tier: v1 (round-2 set; "
-                         "saturated at F~0.67) or v2 (perspective warp, "
+                         "saturated at F~0.67), v2 (perspective warp, "
                          "curved baselines, dense crowding, extreme "
-                         "scales)")
+                         "scales), or photo (v2 geometry composited over "
+                         "real package photographs, disjoint train/val "
+                         "backgrounds — the real-data proxy)")
     ap.add_argument("--json", default=None, metavar="OUT",
                     help="write a machine-readable result record (model, "
                          "steps, recipe, train/val P/R/F, thresholds) to "
@@ -89,7 +91,12 @@ def main():
     from tensorflow_ocr_tpu.train.eval_hook import EvalDuringTraining
 
     hard = "v2" if args.scenes == "v2" else True
-    suffix = "_v2" if args.scenes == "v2" else ""
+    hard_val = hard
+    if args.scenes == "photo":
+        # disjoint real-photo background sets per split: generalization to
+        # unseen real imagery, not background memorization
+        hard, hard_val = "photo:train", "photo:val"
+    suffix = "" if args.scenes == "v1" else f"_{args.scenes}"
     if args.input_size != 512:
         suffix += f"_{args.input_size}"
     size = args.input_size
@@ -98,7 +105,7 @@ def main():
     make_synthetic_dataset(train_dir, args.train_images, (size, size),
                            seed=0, hard=hard)
     make_synthetic_dataset(val_dir, args.val_images, (size, size),
-                           seed=1, hard=hard)
+                           seed=1, hard=hard_val)
 
     def base_cfg():
         cfg = Config()

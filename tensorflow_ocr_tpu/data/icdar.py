@@ -356,6 +356,102 @@ def _v2_instance(rng, h, w, cx, cy, bh, ang_deg, kind=None):
     return chars, rect
 
 
+def _photo_sources() -> dict:
+    """Real photographs shipped inside installed packages, split into
+    disjoint train/val background sets (no background-image leakage).
+
+    The container has no ICDAR data (REAL_DATA.md); these are the only
+    genuine photographs available offline. Compositing rendered text over
+    them — cluttered real textures: architecture, foliage, people — is the
+    closest available proxy to real scene-text statistics, vs the
+    procedural gradients of the v1/v2 tiers.
+    """
+    import sysconfig
+    site = sysconfig.get_paths()["purelib"]
+    cands = {
+        "train": [
+            os.path.join(site, "sklearn/datasets/images/china.jpg"),
+            os.path.join(site, "sklearn/datasets/images/flower.jpg"),
+            os.path.join(site, "matplotlib/mpl-data/sample_data/"
+                               "grace_hopper.jpg"),
+            os.path.join(site, "pygame/docs/generated/_images/"
+                               "intro_freedom.jpg"),
+        ],
+        "val": [
+            os.path.join(site, "pygame/docs/generated/_images/"
+                               "intro_blade.jpg"),
+            os.path.join(site, "pygame/docs/generated/_images/"
+                               "camera_rgb.jpg"),
+            os.path.join(site, "pygame/docs/generated/_images/"
+                               "camera_background.jpg"),
+            os.path.join(site, "pygame/examples/data/alien1.jpg"),
+        ],
+    }
+    return {k: [p for p in v if os.path.exists(p)] for k, v in cands.items()}
+
+
+def _photo_background(rng, h, w, split: str) -> np.ndarray:
+    """Random crop (matched aspect) of a real package photo, resized to
+    (h, w), with random flip + photometric jitter. BGR uint8."""
+    paths = _photo_sources()[split]
+    if not paths:
+        raise FileNotFoundError(
+            "no real package photos found for the 'photo' scene tier "
+            "(looked in sklearn/matplotlib/pygame data dirs)")
+    src = cv2.imread(paths[rng.randint(len(paths))])
+    sh, sw = src.shape[:2]
+    # crop with the target aspect ratio, as large as fits
+    frac = rng.uniform(0.55, 1.0)
+    ch = int(sh * frac)
+    cw = int(round(ch * w / h))
+    if cw > sw:
+        cw = sw
+        ch = int(round(cw * h / w))
+    y0 = rng.randint(0, max(sh - ch, 0) + 1)
+    x0 = rng.randint(0, max(sw - cw, 0) + 1)
+    crop = src[y0:y0 + ch, x0:x0 + cw]
+    if rng.rand() < 0.5:
+        crop = crop[:, ::-1]
+    im = cv2.resize(crop, (w, h), interpolation=cv2.INTER_LINEAR)
+    gain = rng.uniform(0.75, 1.15)
+    bias = rng.uniform(-18, 18)
+    return np.clip(im.astype(np.float32) * gain + bias, 0, 255) \
+        .astype(np.uint8)
+
+
+def _render_photo_instance(rng, im, chars, rect) -> None:
+    """Composite one text instance photo-realistically (in place).
+
+    Unlike the v1/v2 plate rendering, most real scene text sits directly
+    on the scene: ink color is picked to contrast the local background,
+    edges are antialiased via a blurred alpha mask, and an opaque sign
+    plate appears only occasionally.
+    """
+    h, w = im.shape[:2]
+    hull = cv2.convexHull(np.concatenate(chars).astype(np.int32))
+    region = np.zeros((h, w), np.uint8)
+    cv2.fillPoly(region, [hull], 1)
+    local_mean = float(im[region > 0].mean()) if region.any() else 127.0
+    if rng.rand() < 0.3:  # sign plate
+        plate_lum = 220 if local_mean < 140 else 40
+        plate = np.clip(plate_lum + rng.randint(-25, 26, 3), 0, 255)
+        pm = cv2.GaussianBlur(region.astype(np.float32), (3, 3), 0.8)
+        im[:] = (im * (1 - pm[..., None])
+                 + plate[None, None, :] * pm[..., None]).astype(np.uint8)
+        local_mean = float(plate.mean())
+    ink_lum = rng.randint(170, 256) if local_mean < 128 else \
+        rng.randint(0, 86)
+    ink = np.clip(ink_lum + rng.randint(-40, 41, 3), 0, 255) \
+        .astype(np.float32)
+    mask = np.zeros((h, w), np.uint8)
+    for cb in chars:
+        cv2.fillPoly(mask, [np.round(cb).astype(np.int32)], 1)
+    alpha = cv2.GaussianBlur(mask.astype(np.float32), (3, 3), 0.9)
+    alpha *= rng.uniform(0.8, 1.0)
+    im[:] = (im * (1 - alpha[..., None])
+             + ink[None, None, :] * alpha[..., None]).astype(np.uint8)
+
+
 def _gt_coords(quad: np.ndarray, w: int, h: int) -> str:
     """Serialize a 4-point quad as ICDAR GT coords, clamped to the
     canvas — curved/perspective instances can extend past the frame, and
@@ -384,14 +480,27 @@ def make_synthetic_dataset(path: str, num_images: int = 10,
     curved baselines, dense multi-line crowding, and extreme scales
     (instance heights from ~7 px to h/3) — the re-armed benchmark after
     the v1 set saturated (zero train/val gap at F 0.667).
+
+    ``hard="photo:train"`` / ``"photo:val"`` composites the v2 instance
+    geometry over REAL photographs shipped in installed packages
+    (disjoint background sets per split — see ``_photo_sources``), with
+    plate-free contrast-picked ink, antialiased alpha blending, and
+    variable JPEG quality: the closest available proxy to real
+    scene-text data in a container without ICDAR-2015.
     """
     os.makedirs(path, exist_ok=True)
     rng = np.random.RandomState(seed)
     h, w = size
-    v2 = hard == "v2"
+    photo = isinstance(hard, str) and hard.startswith("photo")
+    photo_split = hard.split(":", 1)[1] if photo and ":" in hard else "train"
+    v2 = hard == "v2" or photo
     files = []
     for i in range(num_images):
-        if hard:
+        if photo:
+            im = _photo_background(rng, h, w, photo_split)
+            n_inst = 0  # instances come from the v2 placement loop
+            max_ang = 60
+        elif hard:
             # textured background: low-freq gradient + noise
             yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
             base = (40 + 30 * np.sin(xx / w * rng.uniform(2, 8))
@@ -485,13 +594,16 @@ def make_synthetic_dataset(path: str, num_images: int = 10,
                         insts.append((chars, rect, bh_i))
                     break
             for chars, rect, bh_i in insts:
-                allpts = np.concatenate(chars).astype(np.int32)
-                hull = cv2.convexHull(allpts)
-                plate = tuple(int(c) for c in rng.randint(190, 255, 3))
-                cv2.fillPoly(im, [hull], plate)
-                ink = (int(plate[0] * 0.2),) * 3
-                for cb in chars:
-                    cv2.fillPoly(im, [cb.astype(np.int32)], ink)
+                if photo:
+                    _render_photo_instance(rng, im, chars, rect)
+                else:
+                    allpts = np.concatenate(chars).astype(np.int32)
+                    hull = cv2.convexHull(allpts)
+                    plate = tuple(int(c) for c in rng.randint(190, 255, 3))
+                    cv2.fillPoly(im, [hull], plate)
+                    ink = (int(plate[0] * 0.2),) * 3
+                    for cb in chars:
+                        cv2.fillPoly(im, [cb.astype(np.int32)], ink)
                 # unreadably small instances are don't-care, like ICDAR's
                 # ### convention for illegible text
                 tag = ("###" if bh_i < 8.5 or rng.rand() < 0.15
@@ -533,7 +645,12 @@ def make_synthetic_dataset(path: str, num_images: int = 10,
                 tag = "###" if rng.rand() < 0.15 else "text"
             lines.append(f"{_gt_coords(box, w, h)},{tag}")
         fn = os.path.join(path, f"img_{i}.jpg")
-        cv2.imwrite(fn, im)
+        if photo:
+            # variable compression, like camera/web imagery
+            cv2.imwrite(fn, im,
+                        [cv2.IMWRITE_JPEG_QUALITY, int(rng.randint(60, 93))])
+        else:
+            cv2.imwrite(fn, im)
         with open(os.path.join(path, f"gt_img_{i}.txt"), "w") as f:
             f.write("\n".join(lines) + "\n")
         files.append(fn)

@@ -1,0 +1,66 @@
+"""Photo scene tier: real package-photo backgrounds as the real-data proxy.
+
+The container ships no ICDAR-2015 data (REAL_DATA.md); the closest
+available proxy to real scene-text statistics is compositing the v2
+instance geometry over genuine photographs found inside installed
+packages. These tests pin the tier's contract: disjoint train/val
+background sets, valid ICDAR-format GT, in-bounds quads, determinism.
+"""
+
+import numpy as np
+import pytest
+
+from tensorflow_ocr_tpu.data.icdar import (
+    _photo_sources,
+    load_annotation,
+    make_synthetic_dataset,
+)
+
+_HAVE = all(_photo_sources().values())
+pytestmark = pytest.mark.skipif(
+    not _HAVE, reason="no real package photos available in this container")
+
+
+def test_splits_disjoint():
+    src = _photo_sources()
+    assert src["train"] and src["val"]
+    assert not set(src["train"]) & set(src["val"])
+
+
+def test_photo_scenes_valid_gt(tmp_path):
+    h, w = 256, 320
+    files = make_synthetic_dataset(
+        str(tmp_path), 3, (h, w), seed=0, hard="photo:train")
+    assert len(files) == 3
+    n_text = 0
+    for fn in files:
+        import cv2
+        im = cv2.imread(fn)
+        assert im.shape == (h, w, 3)
+        gt = str(tmp_path / ("gt_" + fn.rsplit("/", 1)[1]
+                             .replace(".jpg", ".txt")))
+        polys, tags = load_annotation(gt)
+        assert len(polys) >= 1
+        assert polys[..., 0].min() >= 0 and polys[..., 0].max() <= w - 1
+        assert polys[..., 1].min() >= 0 and polys[..., 1].max() <= h - 1
+        n_text += int((~tags).sum())
+    assert n_text >= 1  # at least one non-ignored instance across the set
+
+
+def test_photo_deterministic(tmp_path):
+    a = make_synthetic_dataset(str(tmp_path / "a"), 2, (128, 128),
+                               seed=7, hard="photo:val")
+    b = make_synthetic_dataset(str(tmp_path / "b"), 2, (128, 128),
+                               seed=7, hard="photo:val")
+    for fa, fb in zip(a, b):
+        assert open(fa, "rb").read() == open(fb, "rb").read()
+
+
+def test_photo_backgrounds_vary_between_splits(tmp_path):
+    """Same seed, different split -> different background imagery (the
+    split selects from disjoint source photo sets)."""
+    a = make_synthetic_dataset(str(tmp_path / "t"), 1, (128, 128),
+                               seed=5, hard="photo:train")
+    b = make_synthetic_dataset(str(tmp_path / "u"), 1, (128, 128),
+                               seed=5, hard="photo:val")
+    assert open(a[0], "rb").read() != open(b[0], "rb").read()
