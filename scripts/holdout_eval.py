@@ -75,6 +75,9 @@ def main():
                          "scales), or photo (v2 geometry composited over "
                          "real package photographs, disjoint train/val "
                          "backgrounds — the real-data proxy)")
+    ap.add_argument("--note", default=None,
+                    help="free-text annotation stored in the JSON record "
+                         "(e.g. which A/B arm or recalibration this row is)")
     ap.add_argument("--json", default=None, metavar="OUT",
                     help="write a machine-readable result record (model, "
                          "steps, recipe, train/val P/R/F, thresholds) to "
@@ -200,14 +203,14 @@ def main():
           f"R={train.get('recall', 0):.3f} F={train.get('fmean', 0):.3f}")
 
     # Checkpoint-time threshold calibration (train/calibrate.py): sweep on
-    # a 4-image TRAIN slice (never val), then score val at that operating
+    # an 8-image TRAIN slice (never val), then score val at that operating
     # point — the number a Predictor restoring this checkpoint would get
     # by default. Closes the static-threshold drift (QUALITY_r04 default
     # F 0.70 vs swept 0.87 under augmentation).
     from tensorflow_ocr_tpu.train.calibrate import calibrate_thresholds
 
     calib = calibrate_thresholds(tr.model, tr.state, cfg, train_dir,
-                                 max_images=4)
+                                 max_images=8)
     val_cal = val
     if calib:
         kw = ({"score_thresh": calib["score"], "nms_thresh": calib["nms"]}
@@ -320,6 +323,8 @@ def main():
                             "link": best_thresholds[1]}),
             "val_at_best_thresholds": prf(best_val),
         }
+        if args.note:
+            record["note"] = args.note
         doc = {"runs": []}
         if os.path.exists(args.json):
             with open(args.json) as f:

@@ -98,3 +98,32 @@ def test_calibrate_no_images_returns_none(tmp_path):
     assert calibrate_thresholds(None, _StubState(), cfg, "/u",
                                 hook=hook) is None
     assert not (tmp_path / OPERATING_POINT_FILE).exists()
+
+
+class _PlateauHook:
+    """F landscape with a noisy spike at a plateau EDGE: the plateau is
+    pixel in {0.5,0.6,0.7} x link in {0.5,0.7} at F=0.90, with a +eps/2
+    spike at its corner (0.7, 0.5); far-off combos score poorly."""
+
+    def __init__(self):
+        self.images = np.zeros((1, 8, 8, 3))
+
+    def __call__(self, model, state, use_ema=True, pixel_thresh=None,
+                 link_thresh=None, **kw):
+        on_plateau = pixel_thresh in (0.5, 0.6, 0.7) and \
+            link_thresh in (0.5, 0.7)
+        f = 0.90 if on_plateau else 0.40
+        if (pixel_thresh, link_thresh) == (0.7, 0.5):
+            f += 0.007  # small-slice noise spike at the plateau corner
+        return {"fmean": f, "precision": 1.0, "recall": 1.0}
+
+
+def test_calibrate_prefers_plateau_center_over_noisy_edge():
+    cfg = Config()
+    cfg.model.name = "pixellink_resnet50"
+    op = calibrate_thresholds(None, _StubState(), cfg, "/unused",
+                              hook=_PlateauHook())
+    # the 0.907 spike sits at the plateau's corner; the centered pick
+    # (0.6, x) generalizes better and must win under the eps band
+    assert op["pixel"] == 0.6, op
+    assert op["link"] in (0.5, 0.7)
