@@ -68,13 +68,17 @@ def main():
                     help="EAST head geometry (reference datasets/icdar.py"
                          ":29-30 declares QUAD but never implements it; "
                          "here both are real end to end)")
-    ap.add_argument("--scenes", default="v1", choices=["v1", "v2", "photo"],
+    ap.add_argument("--scenes", default="v1",
+                    choices=["v1", "v2", "photo", "photo_mix"],
                     help="hard-scene generation tier: v1 (round-2 set; "
                          "saturated at F~0.67), v2 (perspective warp, "
                          "curved baselines, dense crowding, extreme "
-                         "scales), or photo (v2 geometry composited over "
+                         "scales), photo (v2 geometry composited over "
                          "real package photographs, disjoint train/val "
-                         "backgrounds — the real-data proxy)")
+                         "backgrounds — the real-data proxy), or "
+                         "photo_mix (train on half v2 + half photo:train "
+                         "— domain randomization against the 4-background "
+                         "train set; val stays pure photo:val)")
     ap.add_argument("--note", default=None,
                     help="free-text annotation stored in the JSON record "
                          "(e.g. which A/B arm or recalibration this row is)")
@@ -95,7 +99,7 @@ def main():
 
     hard = "v2" if args.scenes == "v2" else True
     hard_val = hard
-    if args.scenes == "photo":
+    if args.scenes.startswith("photo"):
         # disjoint real-photo background sets per split: generalization to
         # unseen real imagery, not background memorization
         hard, hard_val = "photo:train", "photo:val"
@@ -105,8 +109,20 @@ def main():
     size = args.input_size
     train_dir = f"/tmp/holdout_train{suffix}"
     val_dir = f"/tmp/holdout_val{suffix}"
-    make_synthetic_dataset(train_dir, args.train_images, (size, size),
-                           seed=0, hard=hard)
+    if args.scenes == "photo_mix":
+        # domain randomization: only 4 real train backgrounds exist
+        # (_photo_sources), so a pure-photo train set memorizes their
+        # textures. Mixing in v2 synthetic backgrounds forces the model
+        # to key on text structure rather than backdrop statistics.
+        half = args.train_images // 2
+        make_synthetic_dataset(train_dir, half, (size, size),
+                               seed=0, hard="v2")
+        make_synthetic_dataset(train_dir, args.train_images - half,
+                               (size, size), seed=2, hard="photo:train",
+                               start_index=half)
+    else:
+        make_synthetic_dataset(train_dir, args.train_images, (size, size),
+                               seed=0, hard=hard)
     make_synthetic_dataset(val_dir, args.val_images, (size, size),
                            seed=1, hard=hard_val)
 

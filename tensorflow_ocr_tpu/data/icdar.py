@@ -464,7 +464,8 @@ def _gt_coords(quad: np.ndarray, w: int, h: int) -> str:
 
 def make_synthetic_dataset(path: str, num_images: int = 10,
                            size: Tuple[int, int] = (480, 640),
-                           seed: int = 0, hard=False) -> List[str]:
+                           seed: int = 0, hard=False,
+                           start_index: int = 0) -> List[str]:
     """Write a tiny synthetic ICDAR-format dataset (images + gt_*.txt).
 
     The container has no ICDAR-2015 data; tests and benchmarks use this to
@@ -495,7 +496,7 @@ def make_synthetic_dataset(path: str, num_images: int = 10,
     photo_split = hard.split(":", 1)[1] if photo and ":" in hard else "train"
     v2 = hard == "v2" or photo
     files = []
-    for i in range(num_images):
+    for i in range(start_index, start_index + num_images):
         if photo:
             im = _photo_background(rng, h, w, photo_split)
             n_inst = 0  # instances come from the v2 placement loop
