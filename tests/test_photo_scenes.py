@@ -56,6 +56,22 @@ def test_photo_deterministic(tmp_path):
         assert open(fa, "rb").read() == open(fb, "rb").read()
 
 
+def test_mixed_tier_start_index(tmp_path):
+    """photo_mix layout: two tiers share one ICDAR dir via start_index
+    without filename collisions, and every image has a matching GT."""
+    import os
+    d = str(tmp_path / "mix")
+    a = make_synthetic_dataset(d, 2, (128, 128), seed=0, hard="v2")
+    b = make_synthetic_dataset(d, 2, (128, 128), seed=2,
+                               hard="photo:train", start_index=2)
+    names = sorted(os.listdir(d))
+    assert [n for n in names if n.endswith(".jpg")] == [
+        f"img_{i}.jpg" for i in range(4)]
+    assert [n for n in names if n.endswith(".txt")] == [
+        f"gt_img_{i}.txt" for i in range(4)]
+    assert not set(a) & set(b)
+
+
 def test_photo_backgrounds_vary_between_splits(tmp_path):
     """Same seed, different split -> different background imagery (the
     split selects from disjoint source photo sets)."""
