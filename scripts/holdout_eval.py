@@ -69,16 +69,19 @@ def main():
                          ":29-30 declares QUAD but never implements it; "
                          "here both are real end to end)")
     ap.add_argument("--scenes", default="v1",
-                    choices=["v1", "v2", "photo", "photo_mix"],
+                    choices=["v1", "v2", "photo", "photo_mix", "photo2"],
                     help="hard-scene generation tier: v1 (round-2 set; "
                          "saturated at F~0.67), v2 (perspective warp, "
                          "curved baselines, dense crowding, extreme "
                          "scales), photo (v2 geometry composited over "
                          "real package photographs, disjoint train/val "
-                         "backgrounds — the real-data proxy), or "
+                         "backgrounds — the real-data proxy), "
                          "photo_mix (train on half v2 + half photo:train "
                          "— domain randomization against the 4-background "
-                         "train set; val stays pure photo:val)")
+                         "train set; val stays pure photo:val), or "
+                         "photo2 (photo tier with the expanded real-"
+                         "texture background sets — ~2x sources per "
+                         "split, still split-disjoint)")
     ap.add_argument("--note", default=None,
                     help="free-text annotation stored in the JSON record "
                          "(e.g. which A/B arm or recalibration this row is)")
@@ -102,7 +105,8 @@ def main():
     if args.scenes.startswith("photo"):
         # disjoint real-photo background sets per split: generalization to
         # unseen real imagery, not background memorization
-        hard, hard_val = "photo:train", "photo:val"
+        tier = "photo2" if args.scenes == "photo2" else "photo"
+        hard, hard_val = f"{tier}:train", f"{tier}:val"
     suffix = "" if args.scenes == "v1" else f"_{args.scenes}"
     if args.input_size != 512:
         suffix += f"_{args.input_size}"

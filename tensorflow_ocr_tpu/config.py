@@ -136,7 +136,10 @@ class TrainConfig:
     # (QUALITY_r04: default F 0.70 vs swept 0.87 under augmentation).
     calibrate_at_checkpoint: bool = True
     # Images drawn from the train split for calibration (never val).
-    calibrate_max_images: int = 4
+    # 8 matches the validated plateau-centered recipe (QUALITY_r05:
+    # argmax on a 4-image slice was noisy; 8 + plateau pick closed the
+    # default-vs-swept gap to 0.007).
+    calibrate_max_images: int = 8
     pretrained_model_path: Optional[str] = None
     log_every_steps: int = 10
     # warn (never kill) when no train step completes for this many

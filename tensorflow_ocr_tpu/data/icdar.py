@@ -356,7 +356,7 @@ def _v2_instance(rng, h, w, cx, cy, bh, ang_deg, kind=None):
     return chars, rect
 
 
-def _photo_sources() -> dict:
+def _photo_sources(tier: str = "photo") -> dict:
     """Real photographs shipped inside installed packages, split into
     disjoint train/val background sets (no background-image leakage).
 
@@ -365,6 +365,14 @@ def _photo_sources() -> dict:
     them — cluttered real textures: architecture, foliage, people — is the
     closest available proxy to real scene-text statistics, vs the
     procedural gradients of the v1/v2 tiers.
+
+    ``tier="photo"`` is the original 4+4 set (kept stable so QUALITY_r05
+    photo rows stay comparable across rounds). ``tier="photo2"`` adds
+    real photographic *textures* from dm_control / gymnasium_robotics
+    assets — wood grain, marble, grass, fur, brushed metal, an outdoor
+    skybox — roughly doubling both splits. Near-duplicate sources (the
+    two marble tiles) sit on the SAME side of the split, so split
+    disjointness is by content, not just by file.
     """
     import sysconfig
     site = sysconfig.get_paths()["purelib"]
@@ -387,13 +395,37 @@ def _photo_sources() -> dict:
             os.path.join(site, "pygame/examples/data/alien1.jpg"),
         ],
     }
+    if tier == "photo2":
+        _tex = "gymnasium_robotics/envs/assets/"
+        _out = "dm_control/locomotion/arenas/assets/outdoor_natural/"
+        cands["train"] += [
+            os.path.join(site, _tex, "kitchen_franka/kitchen_assets/"
+                                     "textures/wood1.png"),
+            os.path.join(site, _tex, "kitchen_franka/kitchen_assets/"
+                                     "textures/white_marble_tile.png"),
+            os.path.join(site, _tex, "kitchen_franka/kitchen_assets/"
+                                     "textures/white_marble_tile2.png"),
+            os.path.join(site, _out, "OutdoorGrassFloorD.png"),
+            os.path.join(site, "dm_control/suite/dog_assets/"
+                               "skin_texture.png"),
+        ]
+        cands["val"] += [
+            os.path.join(site, _tex, "kitchen_franka/kitchen_assets/"
+                                     "textures/tile1.png"),
+            os.path.join(site, _tex, "adroit_hand/resources/textures/"
+                                     "silverRaw.png"),
+            os.path.join(site, _tex, "adroit_hand/resources/textures/"
+                                     "skin.png"),
+            os.path.join(site, _out, "OutdoorSkybox2048.png"),
+        ]
     return {k: [p for p in v if os.path.exists(p)] for k, v in cands.items()}
 
 
-def _photo_background(rng, h, w, split: str) -> np.ndarray:
+def _photo_background(rng, h, w, split: str,
+                      tier: str = "photo") -> np.ndarray:
     """Random crop (matched aspect) of a real package photo, resized to
     (h, w), with random flip + photometric jitter. BGR uint8."""
-    paths = _photo_sources()[split]
+    paths = _photo_sources(tier)[split]
     if not paths:
         raise FileNotFoundError(
             "no real package photos found for the 'photo' scene tier "
@@ -488,17 +520,21 @@ def make_synthetic_dataset(path: str, num_images: int = 10,
     plate-free contrast-picked ink, antialiased alpha blending, and
     variable JPEG quality: the closest available proxy to real
     scene-text data in a container without ICDAR-2015.
+    ``hard="photo2:train"`` / ``"photo2:val"`` is the same rendering over
+    the EXPANDED background sets (photo tier + real photographic textures
+    from dm_control/gymnasium assets; see ``_photo_sources("photo2")``).
     """
     os.makedirs(path, exist_ok=True)
     rng = np.random.RandomState(seed)
     h, w = size
     photo = isinstance(hard, str) and hard.startswith("photo")
     photo_split = hard.split(":", 1)[1] if photo and ":" in hard else "train"
+    photo_tier = hard.split(":", 1)[0] if photo else "photo"
     v2 = hard == "v2" or photo
     files = []
     for i in range(start_index, start_index + num_images):
         if photo:
-            im = _photo_background(rng, h, w, photo_split)
+            im = _photo_background(rng, h, w, photo_split, photo_tier)
             n_inst = 0  # instances come from the v2 placement loop
             max_ang = 60
         elif hard:

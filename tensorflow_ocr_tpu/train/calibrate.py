@@ -127,7 +127,7 @@ def load_operating_point(ckpt_dir: str) -> Optional[Dict[str, float]]:
 
 
 def calibrate_and_store(model, state, cfg, train_dir: str, ckpt_dir: str,
-                        max_images: int = 4,
+                        max_images: int = 8,
                         hook=None) -> Optional[Dict[str, float]]:
     """Convenience: calibrate on the train slice and persist the result."""
     op = calibrate_thresholds(model, state, cfg, train_dir,

@@ -720,7 +720,7 @@ class Trainer:
             if self._calib_hook is None:
                 self._calib_hook = EvalDuringTraining(
                     self.cfg, self.cfg.data.training_data_path,
-                    max_images=getattr(tcfg, "calibrate_max_images", 4))
+                    max_images=getattr(tcfg, "calibrate_max_images", 8))
             if self._calib_hook.images is None:
                 return None
             op = calibrate_and_store(

@@ -72,6 +72,33 @@ def test_mixed_tier_start_index(tmp_path):
     assert not set(a) & set(b)
 
 
+def test_photo2_supersets_photo_and_stays_disjoint():
+    """photo2 = photo sources + real-texture additions, per split, with
+    no cross-split sharing (near-duplicate sources must sit on the same
+    side; see _photo_sources docstring)."""
+    p1, p2 = _photo_sources("photo"), _photo_sources("photo2")
+    for split in ("train", "val"):
+        assert set(p1[split]) <= set(p2[split])
+    assert not set(p2["train"]) & set(p2["val"])
+    # the expansion actually adds sources in this container (textures ship
+    # with dm_control / gymnasium_robotics, which the tests depend on)
+    assert len(p2["train"]) > len(p1["train"])
+    assert len(p2["val"]) > len(p1["val"])
+
+
+def test_photo2_scenes_render(tmp_path):
+    files = make_synthetic_dataset(
+        str(tmp_path), 2, (128, 160), seed=3, hard="photo2:val")
+    assert len(files) == 2
+    for fn in files:
+        import cv2
+        assert cv2.imread(fn).shape == (128, 160, 3)
+        gt = str(tmp_path / ("gt_" + fn.rsplit("/", 1)[1]
+                             .replace(".jpg", ".txt")))
+        polys, _ = load_annotation(gt)
+        assert len(polys) >= 1
+
+
 def test_photo_backgrounds_vary_between_splits(tmp_path):
     """Same seed, different split -> different background imagery (the
     split selects from disjoint source photo sets)."""
