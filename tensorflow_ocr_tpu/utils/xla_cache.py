@@ -20,17 +20,30 @@ __all__ = ["machine_tag", "machine_scoped_cache_dir"]
 
 
 def machine_tag() -> str:
-    """Short stable fingerprint of this host's ISA feature set."""
+    """Short stable fingerprint of this host's ISA feature set.
+
+    Includes the CPU *model name*, not just the feature flags: XLA:CPU
+    additionally bakes model-tuned LLVM target features into AOT entries
+    (``prefer-no-scatter``/``prefer-no-gather`` are chosen per CPU model),
+    so two hosts with identical cpuinfo flags but different models must
+    NOT share a cache directory (observed: cpu_aot_loader machine-feature
+    mismatch errors when they did).
+    """
     feats = ""
+    model = ""
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
+                if not feats and line.startswith(("flags", "Features")):
                     feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                elif not model and line.startswith(("model name", "Model",
+                                                    "Hardware")):
+                    model = line.split(":", 1)[1].strip()
+                if feats and model:
                     break
     except OSError:
         pass
-    key = f"{platform.machine()}:{feats}"
+    key = f"{platform.machine()}:{model}:{feats}"
     return hashlib.sha256(key.encode()).hexdigest()[:12]
 
 
